@@ -1,0 +1,44 @@
+"""Masked kNN inverse-distance interpolation.
+
+TPU-native replacement for PyG ``knn_interpolate`` (used by the FP decoder
+stages, reference: pointstowood/src/model.py:149): gather the k nearest
+source points per target and average their features weighted by inverse
+squared distance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pointstowood_tpu.ops.knn import knn_masked
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def knn_interpolate(
+    x: jax.Array,
+    pos: jax.Array,
+    target_pos: jax.Array,
+    k: int = 2,
+    source_mask: jax.Array | None = None,
+    target_mask: jax.Array | None = None,
+    chunk_size: int = 2048,
+) -> jax.Array:
+    """Interpolate (S, C) features at (T, 3) target positions.
+
+    weights = 1 / max(d^2, 1e-16), matching PyG's clamped inverse squared
+    distance; masked-out neighbor slots contribute zero weight. Targets with
+    no valid neighbors (only possible for padded rows) get zeros.
+    """
+    idx, d2, valid = knn_masked(
+        target_pos, pos, k,
+        query_mask=target_mask, source_mask=source_mask, chunk_size=chunk_size,
+    )
+    w = 1.0 / jnp.maximum(d2, 1e-16)
+    w = jnp.where(valid, w, 0.0)
+    feats = x[idx]  # (T, k, C)
+    num = jnp.sum(feats * w[..., None], axis=1)
+    den = jnp.sum(w, axis=1, keepdims=True)
+    return num / jnp.maximum(den, 1e-16)

@@ -1,0 +1,76 @@
+"""Reflectance quantile normalization and ground height normalization.
+
+Reimplements the reference preprocessing math
+(reference: pointstowood/src/preprocessing.py:18-30 quantile normalization;
+preprocessing.py:37-53 coarse ground model) both as host numpy (used by the
+tiling pipeline on whole clouds) and as masked jnp (device variant for
+in-stream use).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import erfinv as _erfinv_np
+
+import jax
+import jax.numpy as jnp
+
+_SQRT2 = float(np.sqrt(2.0))
+
+
+def quantile_normalize_np(reflectance: np.ndarray) -> np.ndarray:
+    """Rank -> empirical quantile -> inverse-normal -> min-max rescale to [-1, 1].
+
+    Matches reference quantile_normalize_reflectance: quantile (rank+1)/(n+1)
+    clamped to [1e-7, 1-1e-7], erfinv(2q-1)*sqrt(2), then linear rescale.
+    Ties break by input order (argsort of argsort), as in the reference.
+    """
+    r = np.asarray(reflectance, dtype=np.float32)
+    if np.isnan(r).any():
+        raise ValueError("Input reflectance tensor contains NaN values.")
+    n = r.shape[0]
+    ranks = np.argsort(np.argsort(r, kind="stable"), kind="stable")
+    q = (ranks.astype(np.float32) + 1.0) / (n + 1.0)
+    q = np.clip(q, 1e-7, 1.0 - 1e-7)
+    z = _erfinv_np(2.0 * q - 1.0).astype(np.float32) * _SQRT2
+    zmin, zmax = z.min(), z.max()
+    return 2.0 * (z - zmin) / (zmax - zmin) - 1.0
+
+
+def quantile_normalize(reflectance: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """jnp variant; with a mask, ranks are computed among valid entries only
+    and padded entries are returned as 0."""
+    r = reflectance.astype(jnp.float32)
+    n = r.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    sort_key = jnp.where(mask, r, jnp.inf)  # padded entries rank last
+    order = jnp.argsort(sort_key, stable=True)
+    ranks = jnp.zeros(n, dtype=jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    n_valid = jnp.sum(mask)
+    q = (ranks.astype(jnp.float32) + 1.0) / (n_valid.astype(jnp.float32) + 1.0)
+    q = jnp.clip(q, 1e-7, 1.0 - 1e-7)
+    z = jax.scipy.special.erfinv(2.0 * q - 1.0) * _SQRT2
+    zmin = jnp.min(jnp.where(mask, z, jnp.inf))
+    zmax = jnp.max(jnp.where(mask, z, -jnp.inf))
+    out = 2.0 * (z - zmin) / jnp.maximum(zmax - zmin, 1e-12) - 1.0
+    return jnp.where(mask, out, 0.0)
+
+
+def ground_normalize_np(xyz: np.ndarray, grid_resolution: float = 5.0) -> np.ndarray:
+    """Height above a coarse per-cell ground model: n_z = z - min z of the
+    point's (grid_resolution x grid_resolution) xy cell.
+
+    Matches the reference gpu_ground (preprocessing.py:37-53): a hardcoded
+    5 m bucketize grid and a per-cell scatter-min over z. Vectorized numpy
+    (no per-cell loop).
+    """
+    xyz = np.asarray(xyz)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    xi = np.floor((x - x.min()) / grid_resolution).astype(np.int64)
+    yi = np.floor((y - y.min()) / grid_resolution).astype(np.int64)
+    cell = xi * (yi.max() + 1) + yi
+    _, inv = np.unique(cell, return_inverse=True)
+    min_z = np.full(inv.max() + 1, np.inf, dtype=np.float64)
+    np.minimum.at(min_z, inv, z)
+    return (z - min_z[inv]).astype(np.float32)

@@ -1,0 +1,88 @@
+"""Static-shape voxel-grid clustering.
+
+TPU-native replacement for torch-cluster ``voxel_grid`` + PyG
+``consecutive_cluster`` (reference: pointstowood/src/model.py:103-106,
+src/preprocessing.py:55-64). Instead of dynamic unique-cluster lists, cells
+are hashed to packed int32 ids and representatives are selected with a
+sort-based segmentation, producing fixed-capacity index arrays + masks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Bits per packed coordinate axis. Tile extents are a few meters and SA
+# resolutions are >= 0.04 m, so cell coordinates stay well under 2^10.
+_AXIS_BITS = 10
+_AXIS_SIZE = 1 << _AXIS_BITS
+# Sentinel id for padded points: sorts after every real cell id.
+PAD_CELL = jnp.int32((1 << 31) - 1)
+
+
+def voxel_cell_ids(pos: jax.Array, size, mask: jax.Array | None = None) -> jax.Array:
+    """Packed int32 voxel cell id per point.
+
+    The grid origin is the per-sample minimum of the valid points (matching
+    PyG voxel_grid's default start = per-batch min). Invalid points get
+    PAD_CELL. Cell coordinates are clipped to the packable range; tiles
+    larger than 2^10 cells per axis would alias (never the case for the
+    <=6 m tiles this pipeline produces at >=0.04 m resolutions).
+    """
+    pos = pos.astype(jnp.float32)
+    if mask is None:
+        origin = jnp.min(pos, axis=0)
+    else:
+        origin = jnp.min(jnp.where(mask[:, None], pos, jnp.inf), axis=0)
+    cells = jnp.floor((pos - origin) / jnp.float32(size)).astype(jnp.int32)
+    cells = jnp.clip(cells, 0, _AXIS_SIZE - 1)
+    ids = (cells[:, 0] << (2 * _AXIS_BITS)) | (cells[:, 1] << _AXIS_BITS) | cells[:, 2]
+    if mask is not None:
+        ids = jnp.where(mask, ids, PAD_CELL)
+    return ids
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def voxel_representatives(ids: jax.Array, capacity: int, mask: jax.Array | None = None):
+    """Pick one representative point per occupied voxel cell.
+
+    The representative is the *lowest-index* point of each cell (the
+    reference's consecutive_cluster picks an arbitrary per-cell point via a
+    racy scatter; first-occurrence is the deterministic choice of the same
+    contract). Output is compacted to ``capacity`` slots ordered by original
+    point index; overflow beyond capacity keeps the lowest-index
+    representatives.
+
+    Returns (idx (capacity,) int32, valid (capacity,) bool).
+    """
+    n = ids.shape[0]
+    if mask is not None:
+        ids = jnp.where(mask, ids, PAD_CELL)
+    order = jnp.argsort(ids, stable=True)  # equal cells: ascending point index
+    sorted_ids = ids[order]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    is_rep = is_first & (sorted_ids != PAD_CELL)
+    # Compact representative original indices, ordered ascending.
+    key = jnp.where(is_rep, order, n)
+    key = jnp.sort(key)[:capacity]
+    valid = key < n
+    return jnp.where(valid, key, 0).astype(jnp.int32), valid
+
+
+def voxel_cell_ids_np(pos, size, origin=None):
+    """Host/numpy voxel cell ids for plot-scale tiling (64-bit, no packing
+    range limit). Used by preprocessing where clouds span hundreds of
+    meters (reference preprocessing.py:55-64 equivalent).
+    """
+    import numpy as np
+
+    pos = np.asarray(pos)
+    if origin is None:
+        origin = pos.min(axis=0)
+    cells = np.floor((pos - origin) / float(size)).astype(np.int64)
+    extent = cells.max(axis=0) + 1
+    return (cells[:, 0] * extent[1] + cells[:, 1]) * extent[2] + cells[:, 2]

@@ -1,0 +1,229 @@
+"""Kernel-layer unit tests against numpy/scipy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial import cKDTree
+from scipy.special import erfinv
+
+from pointstowood_tpu.ops import (
+    compact_indices,
+    knn_interpolate,
+    knn_masked,
+    quantile_normalize,
+    radius_masked,
+    random_sample,
+    voxel_cell_ids,
+    voxel_representatives,
+)
+from pointstowood_tpu.ops.normalization import ground_normalize_np, quantile_normalize_np
+from pointstowood_tpu.ops.segment import segment_max, segment_mean, segment_min, segment_sum
+
+
+# ----------------------------------------------------------------- kNN
+
+
+def test_knn_matches_kdtree(rng):
+    src = rng.normal(size=(500, 3)).astype(np.float32)
+    q = rng.normal(size=(100, 3)).astype(np.float32)
+    idx, d2, valid = knn_masked(q, src, k=8, chunk_size=128)
+    assert valid.all()
+    tree = cKDTree(src)
+    ref_d, ref_i = tree.query(q, k=8)
+    np.testing.assert_allclose(np.sort(np.asarray(d2), 1), np.sort(ref_d**2, 1), rtol=1e-4, atol=1e-5)
+    # index sets must agree (tie order may differ)
+    assert all(set(map(int, a)) == set(map(int, b)) for a, b in zip(np.asarray(idx), ref_i))
+
+
+def test_knn_respects_source_mask(rng):
+    src = rng.normal(size=(64, 3)).astype(np.float32)
+    smask = np.zeros(64, bool)
+    smask[:10] = True
+    idx, d2, valid = knn_masked(src[:5], src, k=4, source_mask=jnp.array(smask), chunk_size=32)
+    assert np.asarray(idx).max() < 10
+    tree = cKDTree(src[:10])
+    ref_d, ref_i = tree.query(src[:5], k=4)
+    np.testing.assert_allclose(np.asarray(d2), ref_d**2, rtol=1e-4, atol=1e-5)
+
+
+def test_knn_more_k_than_sources(rng):
+    src = rng.normal(size=(16, 3)).astype(np.float32)
+    smask = np.zeros(16, bool)
+    smask[:3] = True
+    idx, d2, valid = knn_masked(src[:2], src, k=8, source_mask=jnp.array(smask), chunk_size=8)
+    assert np.asarray(valid).sum(axis=1).tolist() == [3, 3]
+
+
+def test_knn_query_mask(rng):
+    src = rng.normal(size=(32, 3)).astype(np.float32)
+    qmask = np.array([True, False])
+    _, _, valid = knn_masked(src[:2], src, k=4, query_mask=jnp.array(qmask), chunk_size=16)
+    assert valid[0].all() and not valid[1].any()
+
+
+def test_radius_masks_far_points(rng):
+    src = rng.uniform(0, 10, size=(300, 3)).astype(np.float32)
+    q = src[:50]
+    r = 1.0
+    idx, d2, valid = radius_masked(q, src, radius=r, k=16, chunk_size=64)
+    v, i, d = np.asarray(valid), np.asarray(idx), np.asarray(d2)
+    assert (d[v] <= r**2 + 1e-6).all()
+    # every query includes itself (distance 0)
+    self_found = [(i[row][v[row]] == row).any() for row in range(50)]
+    assert all(self_found)
+    tree = cKDTree(src)
+    for row in range(10):
+        ref = tree.query_ball_point(q[row], r)
+        got = set(i[row][v[row]].tolist())
+        if len(ref) <= 16:
+            assert got == set(ref)
+        else:
+            assert got.issubset(set(ref)) and len(got) == 16
+
+
+# ----------------------------------------------------------------- voxel
+
+
+def test_voxel_representatives_one_per_cell(rng):
+    pos = rng.uniform(0, 2, size=(200, 3)).astype(np.float32)
+    ids = voxel_cell_ids(jnp.array(pos), 0.25)
+    idx, valid = voxel_representatives(ids, capacity=200)
+    ids_np = np.asarray(ids)
+    reps = np.asarray(idx)[np.asarray(valid)]
+    # exactly one representative per occupied cell, and it's the min index
+    cells = {}
+    for i, c in enumerate(ids_np):
+        cells.setdefault(int(c), i)
+    assert sorted(reps.tolist()) == sorted(cells.values())
+
+
+def test_voxel_representatives_masked_and_overflow(rng):
+    pos = rng.uniform(0, 1, size=(64, 3)).astype(np.float32)
+    mask = np.ones(64, bool)
+    mask[32:] = False
+    ids = voxel_cell_ids(jnp.array(pos), 0.01, mask=jnp.array(mask))  # all distinct cells
+    idx, valid = voxel_representatives(ids, capacity=16, mask=jnp.array(mask))
+    assert np.asarray(valid).sum() == 16
+    assert np.asarray(idx).max() < 32  # only valid points
+    # overflow keeps lowest indices
+    np.testing.assert_array_equal(np.sort(np.asarray(idx)), np.asarray(idx))
+
+
+# ----------------------------------------------------------------- sampling
+
+
+def test_compact_indices():
+    sel = jnp.array([False, True, False, True, True, False])
+    idx, valid = compact_indices(sel, capacity=4)
+    assert idx.tolist()[:3] == [1, 3, 4]
+    assert valid.tolist() == [True, True, True, False]
+
+
+def test_random_sample_half(rng):
+    mask = np.ones(100, bool)
+    mask[80:] = False
+    idx, valid = random_sample(jax.random.key(0), jnp.array(mask), capacity=50)
+    v = np.asarray(valid)
+    assert v.sum() == 40  # floor(80 * 0.5)
+    chosen = np.asarray(idx)[v]
+    assert (chosen < 80).all() and len(set(chosen.tolist())) == 40
+    # ascending (reference sorts sampled indices)
+    assert (np.diff(chosen) > 0).all()
+    # different keys give different draws
+    idx2, _ = random_sample(jax.random.key(1), jnp.array(mask), capacity=50)
+    assert not np.array_equal(np.asarray(idx), np.asarray(idx2))
+
+
+# ----------------------------------------------------------------- interpolate
+
+
+def test_knn_interpolate_oracle(rng):
+    src = rng.normal(size=(40, 3)).astype(np.float32)
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    tgt = rng.normal(size=(20, 3)).astype(np.float32)
+    out = knn_interpolate(jnp.array(x), jnp.array(src), jnp.array(tgt), k=2, chunk_size=16)
+    tree = cKDTree(src)
+    d, i = tree.query(tgt, k=2)
+    w = 1.0 / np.maximum(d**2, 1e-16)
+    ref = (x[i] * w[..., None]).sum(1) / w.sum(1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_knn_interpolate_single_source():
+    # FP4 case: one global vector per sample broadcast to all targets.
+    src = np.zeros((8, 3), np.float32)
+    smask = np.zeros(8, bool)
+    smask[0] = True
+    x = np.tile(np.arange(4, dtype=np.float32), (8, 1))
+    x[0] = [1, 2, 3, 4]
+    tgt = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+    out = knn_interpolate(jnp.array(x), jnp.array(src), jnp.array(tgt), k=2,
+                          source_mask=jnp.array(smask), chunk_size=8)
+    np.testing.assert_allclose(np.asarray(out), np.tile([1, 2, 3, 4], (5, 1)), rtol=1e-5)
+
+
+# ----------------------------------------------------------------- normalization
+
+
+def test_quantile_normalize_np_properties(rng):
+    r = rng.normal(size=1000).astype(np.float32) * 5 + 3
+    out = quantile_normalize_np(r)
+    assert out.min() == -1.0 and out.max() == 1.0
+    # rank order preserved
+    assert (np.argsort(out, kind="stable") == np.argsort(r, kind="stable")).all()
+    # matches the erfinv formula directly
+    ranks = np.argsort(np.argsort(r, kind="stable"), kind="stable")
+    q = np.clip((ranks + 1) / (len(r) + 1), 1e-7, 1 - 1e-7)
+    z = erfinv(2 * q - 1) * np.sqrt(2)
+    ref = 2 * (z - z.min()) / (z.max() - z.min()) - 1
+    # implementation is fp32 (faithful to the torch reference); oracle is fp64
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_quantile_normalize_jnp_matches_np(rng):
+    r = rng.normal(size=257).astype(np.float32)
+    out = np.asarray(quantile_normalize(jnp.array(r)))
+    ref = quantile_normalize_np(r)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_quantile_normalize_masked(rng):
+    r = rng.normal(size=64).astype(np.float32)
+    mask = np.ones(64, bool)
+    mask[40:] = False
+    out = np.asarray(quantile_normalize(jnp.array(r), mask=jnp.array(mask)))
+    ref = quantile_normalize_np(r[:40])
+    np.testing.assert_allclose(out[:40], ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(out[40:], 0.0)
+
+
+def test_ground_normalize(rng):
+    # two 5m cells with distinct floors
+    n = 200
+    x = np.concatenate([rng.uniform(0, 4, n), rng.uniform(6, 9, n)])
+    y = np.ones(2 * n)
+    z = np.concatenate([rng.uniform(10, 20, n), rng.uniform(100, 110, n)])
+    nz = ground_normalize_np(np.stack([x, y, z], 1))
+    np.testing.assert_allclose(nz[:n], z[:n] - z[:n].min(), rtol=1e-6)
+    np.testing.assert_allclose(nz[n:], z[n:] - z[n:].min(), rtol=1e-6)
+    assert (nz >= 0).all()
+
+
+# ----------------------------------------------------------------- segments
+
+
+def test_segment_ops(rng):
+    data = rng.normal(size=(10, 3)).astype(np.float32)
+    ids = jnp.array([0, 0, 1, 1, 1, 2, 2, 3, 3, 3])
+    mask = jnp.array([True] * 9 + [False])
+    mx = np.asarray(segment_max(jnp.array(data), ids, 5, mask=mask))
+    np.testing.assert_allclose(mx[0], data[:2].max(0), rtol=1e-6)
+    np.testing.assert_allclose(mx[3], data[7:9].max(0), rtol=1e-6)  # masked row excluded
+    np.testing.assert_array_equal(mx[4], 0.0)  # empty segment
+    mn = np.asarray(segment_min(jnp.array(data), ids, 5, mask=mask))
+    np.testing.assert_allclose(mn[1], data[2:5].min(0), rtol=1e-6)
+    sm = np.asarray(segment_sum(jnp.array(data), ids, 5, mask=mask))
+    np.testing.assert_allclose(sm[3], data[7:9].sum(0), rtol=1e-5)
+    mean = np.asarray(segment_mean(jnp.array(data), ids, 5, mask=mask))
+    np.testing.assert_allclose(mean[2], data[5:7].mean(0), rtol=1e-5)
