@@ -18,8 +18,11 @@ import jax.numpy as jnp
 # resolutions are >= 0.04 m, so cell coordinates stay well under 2^10.
 _AXIS_BITS = 10
 _AXIS_SIZE = 1 << _AXIS_BITS
-# Sentinel id for padded points: sorts after every real cell id.
-PAD_CELL = jnp.int32((1 << 31) - 1)
+# Sentinel id for padded points: sorts after every real cell id. Kept as a
+# Python int on purpose: module-level jnp arrays captured into traced
+# functions trigger a pathological constant-embedding path (~40s per lower)
+# under this environment's PJRT plugin.
+PAD_CELL = (1 << 31) - 1
 
 
 def voxel_cell_ids(pos: jax.Array, size, mask: jax.Array | None = None) -> jax.Array:
