@@ -1,0 +1,142 @@
+"""Padded static-shape tile batching.
+
+Replaces the reference's DataLoader + BalancedBatchSampler
+(reference: pointstowood/src/predicter.py:23-63, trainer.py:109-114) with a
+TPU-idiomatic scheme: tiles are bucketed by point count into a small set of
+power-of-two capacities, padded with validity masks, and batched within a
+bucket — one XLA compilation per (bucket, batch) shape instead of a fresh
+dynamic shape per batch.
+
+The reference sampler pairs short and long tiles to even out total points
+per batch and can silently drop trailing tiles (predicter.py:55-60);
+bucketing achieves the same compute-balance goal without dropping anything.
+Each tile is centered by its valid-point mean and carries the shift and the
+max-norm scale factor, exactly as the reference datasets do
+(trainer.py:54-56, predicter.py:84-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from pointstowood_tpu.data.tiling import Tile
+
+
+def bucket_capacities(min_pts: int, max_pts: int) -> List[int]:
+    """Power-of-two capacities covering [min_pts, max_pts]."""
+    caps = []
+    c = 256
+    while c < max_pts:
+        if c >= min_pts:
+            caps.append(c)
+        c *= 2
+    caps.append(max_pts)
+    return caps
+
+
+@dataclasses.dataclass
+class TileBatch:
+    """One padded batch: everything the model consumes plus undo metadata."""
+
+    pos: np.ndarray         # (B, N, 3) float32, centered per tile
+    reflectance: np.ndarray  # (B, N) float32
+    mask: np.ndarray        # (B, N) bool
+    sf: np.ndarray          # (B,) float32 max point norm per tile
+    shift: np.ndarray       # (B, 3) float32 per-tile centering shift
+    labels: np.ndarray | None = None  # (B, N) float32 when training
+
+
+def pad_tiles(tiles: Sequence[np.ndarray], capacity: int,
+              with_labels: bool = False) -> TileBatch:
+    """Pad a list of (n_i, 4|5) tile arrays into one (B, capacity, ...) batch.
+
+    Centering and scale factor follow the reference datasets: shift = mean
+    of xyz, sf = max ||p - shift|| (trainer.py:54-56). Tiles longer than
+    ``capacity`` are truncated (callers bucket so this does not happen).
+    """
+    b = len(tiles)
+    pos = np.zeros((b, capacity, 3), np.float32)
+    refl = np.zeros((b, capacity), np.float32)
+    mask = np.zeros((b, capacity), bool)
+    sf = np.ones(b, np.float32)
+    shift = np.zeros((b, 3), np.float32)
+    labels = np.zeros((b, capacity), np.float32) if with_labels else None
+    for i, t in enumerate(tiles):
+        n = min(t.shape[0], capacity)
+        if n == 0:  # all-invalid padding row (static batch dim)
+            continue
+        xyz = t[:n, :3].astype(np.float32)
+        s = xyz.mean(axis=0)
+        xyz = xyz - s
+        pos[i, :n] = xyz
+        refl[i, :n] = t[:n, 3]
+        mask[i, :n] = True
+        sf[i] = max(float(np.sqrt((xyz**2).sum(axis=1)).max()), 1e-12)
+        shift[i] = s
+        if with_labels:
+            labels[i, :n] = t[:n, 4]
+    return TileBatch(pos=pos, reflectance=refl, mask=mask, sf=sf, shift=shift,
+                     labels=labels)
+
+
+class TileBatcher:
+    """Groups tiles into same-capacity padded batches.
+
+    Iteration yields (capacity, TileBatch, tile_indices). The final batch of
+    each bucket is padded with all-invalid rows up to ``batch_size`` so the
+    batch dimension is static too.
+    """
+
+    def __init__(self, tiles: Sequence[Tile], batch_size: int,
+                 min_pts: int, max_pts: int, with_labels: bool = False,
+                 shuffle: bool = False, seed: int = 0,
+                 augment=None):
+        self.tiles = list(tiles)
+        self.batch_size = batch_size
+        self.with_labels = with_labels
+        self.capacities = bucket_capacities(min_pts, max_pts)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.augment = augment
+        self._epoch = 0
+
+    def _capacity_for(self, n: int) -> int:
+        for c in self.capacities:
+            if n <= c:
+                return c
+        return self.capacities[-1]
+
+    def __len__(self):
+        from collections import Counter
+
+        counts = Counter(self._capacity_for(len(t)) for t in self.tiles)
+        return sum(-(-c // self.batch_size) for c in counts.values())
+
+    def __iter__(self) -> Iterator[tuple]:
+        order = np.arange(len(self.tiles))
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        if self.shuffle:
+            rng.shuffle(order)
+        buckets: dict = {}
+        for ti in order:
+            cap = self._capacity_for(len(self.tiles[ti]))
+            buckets.setdefault(cap, []).append(ti)
+        for cap, idxs in sorted(buckets.items()):
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                arrays = []
+                for ti in chunk:
+                    pts = self.tiles[ti].points
+                    if self.augment is not None:
+                        pts = self.augment(pts, rng)
+                    arrays.append(pts)
+                # pad batch dim with empty tiles for a static B
+                n_pad = self.batch_size - len(arrays)
+                width = arrays[0].shape[1]
+                arrays += [np.zeros((0, width), np.float32)] * n_pad
+                batch = pad_tiles(arrays, cap, with_labels=self.with_labels)
+                yield cap, batch, list(chunk)

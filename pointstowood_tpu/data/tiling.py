@@ -1,0 +1,137 @@
+"""Host-side preprocessing: ground normalization, reflectance quantile
+normalization, and multi-scale voxel tiling.
+
+Reimplements the reference Voxelise pipeline
+(reference: pointstowood/src/preprocessing.py:9-131) as vectorized numpy —
+the reference's per-voxel Python loop over ``torch.unique`` cells
+(preprocessing.py:59-63, one GPU sync per cell) becomes a single
+argsort + split. Tiles are returned in memory as float32 arrays instead of
+being spilled to per-tile ``voxel_N.pt`` files (the reference writes and
+re-reads them in the same process; an optional on-disk cache is provided
+for debugging parity).
+
+Behavioral notes vs the reference:
+  * Cells are clustered on x/y/z only. The reference passes its full
+    feature tensor to voxel_grid (preprocessing.py:58), which additionally
+    buckets by reflectance/n_z/extra columns — an artifact of reusing the
+    tensor, documented here as a deliberate deviation (spatial tiling is
+    the stated intent; fusion makes tile membership non-semantic).
+  * Oversized cells are subsampled exactly as the reference does
+    (preprocessing.py:116-120): reflectance-weighted sampling without
+    replacement when reflectance is present, uniform WITH replacement
+    (torch.randint semantics) otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pointstowood_tpu.config import TilingConfig
+from pointstowood_tpu.ops.normalization import ground_normalize_np, quantile_normalize_np
+
+
+@dataclasses.dataclass
+class Tile:
+    """One voxel tile: float32 points [x, y, z, reflectance, (label)]."""
+
+    points: np.ndarray  # (n, 4) predict / (n, 5) train
+    grid_size: float
+
+    def __len__(self):
+        return self.points.shape[0]
+
+
+def _split_by_cell(xyz: np.ndarray, size: float) -> List[np.ndarray]:
+    """Index groups of points per occupied (size^3) voxel cell."""
+    origin = xyz.min(axis=0)
+    cells = np.floor((xyz - origin) / size).astype(np.int64)
+    extent = cells.max(axis=0) + 1
+    ids = (cells[:, 0] * extent[1] + cells[:, 1]) * extent[2] + cells[:, 2]
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    boundaries = np.flatnonzero(np.diff(sorted_ids)) + 1
+    return np.split(order, boundaries)
+
+
+def preprocess_cloud(
+    pc: pd.DataFrame,
+    config: TilingConfig,
+    with_labels: bool = False,
+    seed: int = 141190,
+    vxdir: str | None = None,
+) -> List[Tile]:
+    """Normalize and tile a canonicalized cloud (x, y, z, reflectance, ...).
+
+    Mutates ``pc`` by adding the ``n_z`` height-normalized column (the
+    reference writes it back into args.pc at preprocessing.py:131). Returns
+    the tile list; if ``vxdir`` is given, also writes each tile as
+    ``voxel_{i}.npy`` for inspection.
+    """
+    rng = np.random.default_rng(seed)
+    if "n_z" not in pc.columns:
+        pc["n_z"] = ground_normalize_np(
+            pc[["x", "y", "z"]].to_numpy(), grid_resolution=config.ground_grid
+        )
+
+    xyz = pc[["x", "y", "z"]].to_numpy().astype(np.float32)
+    refl = pc["reflectance"].to_numpy().astype(np.float32)
+    reflectance_not_zero = not np.all(refl == 0)
+    if reflectance_not_zero:
+        refl = quantile_normalize_np(refl)
+
+    columns = [xyz, refl[:, None]]
+    if with_labels:
+        columns.append(pc["label"].to_numpy().astype(np.float32)[:, None])
+    data = np.concatenate(columns, axis=1)
+
+    # Sampling weight for oversized cells (preprocessing.py:98-104).
+    if reflectance_not_zero:
+        weight = refl - refl.min()
+        weight = np.where(np.isfinite(weight), weight, 0.0) + 1e-8
+    else:
+        weight = None
+
+    tiles: List[Tile] = []
+    for size in config.grid_size:
+        for cell_idx in _split_by_cell(xyz, float(size)):
+            if cell_idx.shape[0] < config.min_pts:
+                continue
+            if cell_idx.shape[0] > config.max_pts:
+                if weight is not None:
+                    w = weight[cell_idx]
+                    cell_idx = rng.choice(
+                        cell_idx, size=config.max_pts, replace=False, p=w / w.sum()
+                    )
+                else:
+                    cell_idx = cell_idx[
+                        rng.integers(0, cell_idx.shape[0], size=config.max_pts)
+                    ]
+            tile = data[cell_idx]
+            tile = tile[~np.isnan(tile).any(axis=1)]
+            if tile.shape[0] == 0:
+                continue
+            tiles.append(Tile(points=tile, grid_size=float(size)))
+
+    if vxdir is not None:
+        os.makedirs(vxdir, exist_ok=True)
+        for i, t in enumerate(tiles):
+            np.save(os.path.join(vxdir, f"voxel_{i}.npy"), t.points)
+    return tiles
+
+
+def load_tiles(vxdir: str) -> List[Tile]:
+    """Read tiles cached by ``preprocess_cloud(vxdir=...)``."""
+    import glob
+
+    tiles = []
+    for f in sorted(
+        glob.glob(os.path.join(vxdir, "voxel_*.npy")),
+        key=lambda p: int(os.path.splitext(os.path.basename(p))[0].split("_")[1]),
+    ):
+        tiles.append(Tile(points=np.load(f), grid_size=0.0))
+    return tiles

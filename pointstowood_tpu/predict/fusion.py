@@ -1,0 +1,120 @@
+"""Fusion of per-tile predictions back onto the original cloud.
+
+Replaces the reference's pykdtree + numba stack
+(reference: pointstowood/src/predicter.py:107-142): every original point
+queries its k nearest classified points (tiles overlap across grid scales,
+so each point typically has ~2x duplicates — the implicit two-scale
+ensemble), takes the median of their wood probabilities as ``pwood`` and a
+probability-weighted vote as ``label`` (predicter.py:113-127).
+
+Neighbor indices come from the native C++ grid kNN when available (see
+pointstowood_tpu/native), else scipy's cKDTree; the median/vote math runs
+vectorized in JAX, processing the (N, k) gather in fixed-size chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+
+@functools.partial(jax.jit, static_argnames=("any_wood_is_one",))
+def _fuse_chunk(preds, probs, idx, any_wood, any_wood_is_one: bool):
+    """Median prob + vote for one (n, k) index chunk.
+
+    preds/probs: (M,) classified predictions/probabilities.
+    idx: (n, k) neighbor indices into them.
+    """
+    p = probs[idx]  # (n, k)
+    c = preds[idx]  # (n, k)
+    pwood = jnp.median(p, axis=1)
+    if any_wood_is_one:
+        # probability-weighted vote between class 0 and 1; ties -> 0
+        # (np.argmax semantics over the reference's zero-padded vote vector)
+        vote1 = jnp.sum(jnp.where(c == 1, p, 0.0), axis=1)
+        vote0 = jnp.sum(jnp.where(c == 0, p, 0.0), axis=1)
+        label = (vote1 > vote0).astype(jnp.float32)
+    else:
+        # any neighbor predicted wood (pred > any_wood with pred in {0,1})
+        label = jnp.any(c > any_wood, axis=1).astype(jnp.float32)
+    return label, pwood
+
+
+def fuse_labels(
+    classified: np.ndarray,
+    query_xyz: np.ndarray,
+    is_wood: float,
+    any_wood: float,
+    chunk: int = 1 << 20,
+    indices: np.ndarray | None = None,
+) -> np.ndarray:
+    """Return (N, 2) [label, pwood] for every query point.
+
+    classified: (M, >=5) columns [..., pred, prob] (pred at -2, prob at -1,
+    xyz at :3) as in the reference's vstacked tile outputs.
+    """
+    k = 64 if any_wood == 1 else 32
+    m = classified.shape[0]
+    k = min(k, m)
+    if indices is None:
+        indices = knn_indices(classified[:, :3], query_xyz, k)
+    preds = jnp.asarray(classified[:, -2].astype(np.float32))
+    probs = jnp.asarray(classified[:, -1].astype(np.float32))
+    out = np.zeros((query_xyz.shape[0], 2), np.float64)
+    for start in range(0, query_xyz.shape[0], chunk):
+        idx = jnp.asarray(indices[start : start + chunk].astype(np.int32))
+        label, pwood = _fuse_chunk(preds, probs, idx, any_wood, any_wood == 1)
+        out[start : start + chunk, 0] = np.asarray(label)
+        out[start : start + chunk, 1] = np.asarray(pwood)
+    return out
+
+
+def knn_indices(source_xyz: np.ndarray, query_xyz: np.ndarray, k: int) -> np.ndarray:
+    """Plot-scale exact kNN indices, native C++ grid search when built,
+    scipy cKDTree otherwise."""
+    try:
+        from pointstowood_tpu.native import grid_knn
+
+        return grid_knn(source_xyz, query_xyz, k)
+    except Exception:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(source_xyz)
+        _, idx = tree.query(query_xyz, k=k, workers=-1)
+        if k == 1:
+            idx = idx[:, None]
+        return idx
+
+
+class Fusion:
+    """Reference PointCloudClassifier equivalent (predicter.py:107-142)."""
+
+    def __init__(self, is_wood: float, any_wood: float):
+        self.is_wood = is_wood
+        self.any_wood = any_wood
+
+    def collect_predictions(self, classification: np.ndarray,
+                            original: pd.DataFrame) -> pd.DataFrame:
+        original = original.drop(
+            columns=[c for c in original.columns if c in ("label", "pwood", "pleaf")]
+        )
+        # nbrs.npy cache next to the CWD, as the reference honors
+        # (predicter.py:131-134)
+        indices = None
+        if os.path.exists("nbrs.npy"):
+            indices = np.load("nbrs.npy")
+        labels = fuse_labels(
+            classification,
+            original[["x", "y", "z"]].to_numpy(),
+            self.is_wood,
+            self.any_wood,
+            indices=indices,
+        )
+        original.loc[:, "label"] = labels[:, 0]
+        original.loc[:, "pwood"] = labels[:, 1]
+        return original

@@ -1,0 +1,119 @@
+"""Inference engine: padded tile batches -> per-point wood probabilities ->
+fusion onto the original cloud.
+
+Equivalent of the reference SemanticSegmentation flow
+(reference: pointstowood/src/predicter.py:148-236) rebuilt TPU-first:
+tiles stream through one jitted forward per (capacity, batch) shape,
+probabilities/thresholded predictions come back with the per-tile centering
+undone (predicter.py:211-214), everything is vstacked (points appear once
+per grid scale — the implicit two-model ensemble), and the kNN median/vote
+fusion labels every original point.
+
+Unlike the reference's BalancedBatchSampler, no tile is ever dropped
+(the reference's pairing loop can skip trailing tiles, predicter.py:55-60).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointstowood_tpu.config import ModelConfig, PredictConfig, TilingConfig
+from pointstowood_tpu.data.dataset import TileBatcher
+from pointstowood_tpu.data.tiling import Tile
+from pointstowood_tpu.model import Net
+from pointstowood_tpu.predict.fusion import Fusion
+
+
+def build_net(model_cfg: ModelConfig, knn_chunk: int = 2048) -> Net:
+    return Net(
+        num_classes=model_cfg.num_classes,
+        channels=model_cfg.channels,
+        k=model_cfg.k,
+        sa_resolutions=tuple(model_cfg.sa_resolutions),
+        stage_fractions=tuple(model_cfg.stage_fractions),
+        fp_k=model_cfg.fp_k,
+        knn_chunk=knn_chunk,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("net",))
+def _forward(net: Net, variables, pos, refl, mask, sf):
+    logits = net.apply(variables, pos, refl, mask, sf, training=False)
+    probs = jax.nn.sigmoid(jnp.nan_to_num(logits))
+    return probs
+
+
+def run_inference(
+    tiles: Sequence[Tile],
+    variables,
+    net: Net,
+    predict_cfg: PredictConfig,
+    tiling_cfg: TilingConfig,
+    mesh=None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Classify all tiles; returns (M, 5) [x, y, z, pred, prob] rows for
+    every valid tile point (reference predicter.py:192-217)."""
+    batch_size = predict_cfg.batch_size
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        if batch_size % n_dev:
+            batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        data_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, repl)
+
+    batcher = TileBatcher(
+        tiles, batch_size=batch_size,
+        min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+    )
+    outputs = []
+    for cap, batch, _ in batcher:
+        pos = jnp.asarray(batch.pos)
+        refl = jnp.asarray(batch.reflectance)
+        mask = jnp.asarray(batch.mask)
+        sf = jnp.asarray(batch.sf)
+        if mesh is not None:
+            pos, refl, mask, sf = (
+                jax.device_put(a, data_sharding) for a in (pos, refl, mask, sf)
+            )
+        probs = np.asarray(_forward(net, variables, pos, refl, mask, sf))
+        preds = (probs >= predict_cfg.is_wood).astype(np.float64)
+        xyz = batch.pos.astype(np.float64) + batch.shift[:, None, :].astype(np.float64)
+        m = batch.mask
+        out = np.concatenate(
+            [xyz, preds[..., None], probs.astype(np.float64)[..., None]], axis=-1
+        )
+        outputs.append(out[m])
+    if not outputs:
+        raise ValueError("no tiles to classify (cloud smaller than min_pts?)")
+    return np.vstack(outputs)
+
+
+def semantic_segmentation(
+    pc,
+    tiles: Sequence[Tile],
+    variables,
+    model_cfg: ModelConfig,
+    predict_cfg: PredictConfig,
+    tiling_cfg: TilingConfig,
+    mesh=None,
+    verbose: bool = False,
+):
+    """Full inference: classify tiles, fuse onto the original cloud.
+    Returns the DataFrame with label/pwood columns added."""
+    net = build_net(model_cfg)
+    classified = run_inference(
+        tiles, variables, net, predict_cfg, tiling_cfg, mesh=mesh, verbose=verbose
+    )
+    if verbose:
+        print("Spatially aggregating prediction probabilities and labels...")
+    fusion = Fusion(predict_cfg.is_wood, predict_cfg.any_wood)
+    return fusion.collect_predictions(classified, pc)

@@ -1,0 +1,363 @@
+"""Training engine.
+
+Functional rebuild of the reference SemanticTraining loop
+(reference: pointstowood/src/trainer.py:96-320): AdamW (lr 1e-4, wd 1e-2;
+--tune: lr 1e-6 with cosine-warmup-restarts), Poly1 focal loss with label
+smoothing 0.1, global-norm grad clipping at 1.0, per-*epoch* LR stepping,
+per-batch metrics averaged batchwise, history CSV, epoch checkpoints and
+rolling best-model saves, optional test split evaluated each epoch.
+
+TPU-first differences:
+  * The reference deep-copies the full state dict before every batch and
+    rolls back on exceptions (trainer.py:171-192). JAX state is immutable,
+    so the equivalent is free: the update is applied only when the loss and
+    gradients are finite (`optax.apply_if_finite` semantics, implemented
+    inline so the skip also freezes batch_stats).
+  * AMP + GradScaler are CUDA artifacts; compute runs in fp32 (bf16 matmul
+    precision is a config knob for speed) and needs no loss scaling.
+  * No per-batch CPU sync for metrics: confusion counts accumulate
+    in-graph and only scalars cross to host.
+  * Padded static-shape batches; the final partial batch is padded with
+    empty tiles instead of dropped (reference uses drop_last=True).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointstowood_tpu.config import ModelConfig, TilingConfig, TrainConfig
+from pointstowood_tpu.data.dataset import TileBatcher
+from pointstowood_tpu.data.tiling import Tile
+from pointstowood_tpu.model import Net
+from pointstowood_tpu.train.augmentation import augment_tile
+from pointstowood_tpu.train.loss import poly1_focal_loss
+from pointstowood_tpu.train.metrics import batch_metrics, binary_counts
+from pointstowood_tpu.train.schedule import cosine_warmup_restarts_lr, onecycle_cos_lr
+from pointstowood_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: object
+    epoch: int = 0
+
+
+def make_optimizer(cfg: TrainConfig):
+    """AdamW behind global-norm clipping, with an injectable learning rate
+    (stepped per epoch like the reference schedulers, trainer.py:123,219)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, weight_decay=cfg.weight_decay,
+            b1=0.9, b2=0.999, eps=1e-8,
+        ),
+    )
+
+
+def epoch_lr(cfg: TrainConfig, epoch0: int) -> float:
+    """LR for 0-based epoch index, matching the reference's two schedules."""
+    if cfg.tune:
+        return cosine_warmup_restarts_lr(
+            epoch0,
+            first_cycle_steps=max(cfg.num_epochs // 5, 6),
+            max_lr=cfg.tune_lr, min_lr=1e-8, warmup_steps=5, gamma=0.5,
+        )
+    return onecycle_cos_lr(
+        epoch0, max_lr=cfg.learning_rate, total_steps=cfg.num_epochs,
+        pct_start=0.05, div_factor=100.0,
+    )
+
+
+def make_train_step(net: Net, tx, loss_cfg: TrainConfig):
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, pos, refl, mask, sf,
+                   labels, lr, key):
+        def loss_fn(p):
+            logits, mutated = net.apply(
+                {"params": p, "batch_stats": batch_stats},
+                pos, refl, mask, sf, training=True,
+                rngs={"sample": key}, mutable=["batch_stats"],
+            )
+            loss, _ = poly1_focal_loss(
+                logits, labels,
+                epsilon=loss_cfg.poly_epsilon, gamma=loss_cfg.focal_gamma,
+                alpha=None, label_smoothing=loss_cfg.label_smoothing,
+                mask=mask, reduction="mean",
+            )
+            return loss, (mutated["batch_stats"], logits)
+
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+
+        # optax.chain state is a tuple: (clip_state, inject_hyperparams_state)
+        opt_state[1].hyperparams["learning_rate"] = lr
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        # Finite guard: the functional equivalent of the reference's
+        # pre-batch snapshot + rollback-on-error (trainer.py:171-192).
+        finite = jnp.isfinite(loss)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+
+        def keep_if_finite(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+
+        params_out = keep_if_finite(new_params, params)
+        bs_out = keep_if_finite(new_bs, batch_stats)
+        opt_out = keep_if_finite(new_opt_state, opt_state)
+
+        preds = (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
+        counts = binary_counts(preds, labels, mask)
+        return params_out, bs_out, opt_out, loss, counts, finite
+
+    return train_step
+
+
+def make_eval_step(net: Net):
+    @jax.jit
+    def eval_step(params, batch_stats, pos, refl, mask, sf, labels):
+        logits = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pos, refl, mask, sf, training=False,
+        )
+        preds = (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
+        return binary_counts(preds, labels, mask)
+
+    return eval_step
+
+
+def _batch_arrays(batch):
+    return (
+        jnp.asarray(batch.pos), jnp.asarray(batch.reflectance),
+        jnp.asarray(batch.mask), jnp.asarray(batch.sf),
+        jnp.asarray(batch.labels),
+    )
+
+
+def semantic_training(
+    train_tiles: Sequence[Tile],
+    cfg: TrainConfig,
+    model_cfg: ModelConfig,
+    tiling_cfg: TilingConfig,
+    wdir: str = ".",
+    model_name: str = "model.ckpt",
+    test_tiles: Optional[Sequence[Tile]] = None,
+    checkpoints: Sequence[int] = (),
+    use_wandb: bool = False,
+    verbose: bool = False,
+    log_fn: Callable[[str], None] = print,
+):
+    """Run the full training loop; returns the final TrainState and history.
+
+    History rows match the reference CSV layout (trainer.py:256-267):
+    [epoch, lr, train_loss, train_ba, train_f1, train_precision,
+    train_recall, (+ test_ba, test_f1, test_precision, test_recall)].
+    """
+    net = Net(
+        num_classes=model_cfg.num_classes, channels=model_cfg.channels,
+        k=model_cfg.k, sa_resolutions=tuple(model_cfg.sa_resolutions),
+        stage_fractions=tuple(model_cfg.stage_fractions), fp_k=model_cfg.fp_k,
+    )
+    tx = make_optimizer(cfg)
+
+    model_path = os.path.join(wdir, "model", model_name)
+    os.makedirs(os.path.join(wdir, "model"), exist_ok=True)
+
+    # init params from a representative batch shape
+    probe = TileBatcher(
+        train_tiles, batch_size=cfg.batch_size,
+        min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+        with_labels=True,
+    )
+    cap0, batch0, _ = next(iter(probe))
+    pos0, refl0, mask0, sf0, _ = _batch_arrays(batch0)
+    rng = jax.random.PRNGKey(cfg.seed)
+    init_fn = jax.jit(functools.partial(net.init, training=True))
+    variables = init_fn(
+        {"params": rng, "sample": jax.random.PRNGKey(cfg.seed + 1)},
+        pos0, refl0, mask0, sf0,
+    )
+
+    if os.path.isfile(model_path):
+        log_fn("Loading model")
+        try:
+            restored = load_checkpoint(model_path)
+            variables = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, a.dtype), variables, restored
+            )
+        except Exception as e:  # reference creates a fresh file on KeyError
+            log_fn(f"Failed to load ({e}), creating new...")
+            save_checkpoint(model_path, variables)
+    else:
+        log_fn("\nModel not found, creating new file...")
+        save_checkpoint(model_path, variables)
+
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    opt_state = tx.init(params)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log_fn(f"Model contains {n_params} parameters")
+
+    train_step = make_train_step(net, tx, cfg)
+    eval_step = make_eval_step(net)
+
+    if use_wandb:
+        import wandb
+
+        wandb.init(
+            project="PointsToWood",
+            config={
+                "architecture": "pointnet++",
+                "dataset": "high resolution 2 & 4 m voxels",
+                "epochs": cfg.num_epochs,
+            },
+        )
+
+    history = []
+    best = {"ba_train": 0.0, "f1_train": 0.0, "ba_test": 0.0, "f1_test": 0.0,
+            "precision_test": 0.0}
+    sample_key = jax.random.PRNGKey(cfg.seed + 2)
+
+    def save_best(stat, key, path_prefix):
+        if stat > best[key]:
+            best[key] = stat
+            p = os.path.join(wdir, "model", path_prefix + os.path.basename(model_name))
+            save_checkpoint(p, {"params": params, "batch_stats": batch_stats})
+            log_fn(f"Saving {p}")
+        return best[key]
+
+    for epoch in range(1, cfg.num_epochs + 1):
+        lr = epoch_lr(cfg, epoch - 1)
+        batcher = TileBatcher(
+            train_tiles, batch_size=cfg.batch_size,
+            min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+            with_labels=True, shuffle=True, seed=cfg.seed + epoch,
+            augment=(functools.partial(augment_tile, mode="train")
+                     if cfg.augmentation else None),
+        )
+        sums = {"loss": 0.0, "precision": 0.0, "recall": 0.0,
+                "balanced_accuracy": 0.0, "f1": 0.0}
+        n_batches = 0
+        for cap, batch, _ in batcher:
+            sample_key, step_key = jax.random.split(sample_key)
+            pos, refl, mask, sf, labels = _batch_arrays(batch)
+            params, batch_stats, opt_state, loss, counts, finite = train_step(
+                params, batch_stats, opt_state, pos, refl, mask, sf, labels,
+                jnp.float32(lr), step_key,
+            )
+            if not bool(finite):
+                log_fn("Skipping a batch due to non-finite loss/grads")
+                continue
+            m = batch_metrics(counts)
+            sums["loss"] += float(loss)
+            for k in ("precision", "recall", "balanced_accuracy", "f1"):
+                sums[k] += m[k]
+            n_batches += 1
+        n_batches = max(n_batches, 1)
+        row = [
+            epoch, lr, sums["loss"] / n_batches,
+            sums["balanced_accuracy"] / n_batches, sums["f1"] / n_batches,
+            sums["precision"] / n_batches, sums["recall"] / n_batches,
+        ]
+        if verbose:
+            log_fn(
+                f"epoch {epoch} lr {lr:.3g} loss {row[2]:.4f} "
+                f"ba {row[3]:.3f} f1 {row[4]:.3f}"
+            )
+
+        test_row = []
+        if test_tiles is not None:
+            tsums = {"precision": 0.0, "recall": 0.0,
+                     "balanced_accuracy": 0.0, "f1": 0.0}
+            tn = 0
+            tbatcher = TileBatcher(
+                test_tiles, batch_size=max(cfg.batch_size // 2, 1),
+                min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+                with_labels=True, shuffle=True, seed=cfg.seed + 10_000 + epoch,
+                augment=(functools.partial(augment_tile, mode="test")
+                         if cfg.augmentation else None),
+            )
+            for cap, batch, _ in tbatcher:
+                pos, refl, mask, sf, labels = _batch_arrays(batch)
+                counts = eval_step(params, batch_stats, pos, refl, mask, sf, labels)
+                m = batch_metrics(counts)
+                for k in tsums:
+                    tsums[k] += m[k]
+                tn += 1
+            tn = max(tn, 1)
+            test_row = [
+                tsums["balanced_accuracy"] / tn, tsums["f1"] / tn,
+                tsums["precision"] / tn, tsums["recall"] / tn,
+            ]
+        history.append(row + test_row)
+
+        # history CSV (trainer.py:138-145)
+        hist_path = os.path.join(
+            wdir, "model", os.path.splitext(model_name)[0] + "_history.csv"
+        )
+        try:
+            np.savetxt(hist_path, np.asarray(history))
+        except OSError:
+            np.savetxt(hist_path + ".backup", np.asarray(history))
+
+        if epoch in set(int(c) for c in checkpoints):
+            ckpt_dir = os.path.join(wdir, "checkpoints")
+            os.makedirs(ckpt_dir, exist_ok=True)
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"epoch_{epoch}.ckpt"),
+                {"params": params, "batch_stats": batch_stats},
+            )
+
+        # Early stopping: reproduced faithfully from trainer.py:279-293 —
+        # the counter is re-initialized every epoch there, so the >=10
+        # branch can never fire; training effectively never stops early.
+        if cfg.stop_early and epoch > 10:
+            consec_decreases = 0
+            if history[-1][3] < history[-2][3]:
+                consec_decreases += 1
+            if consec_decreases >= 10:  # pragma: no cover - inert by design
+                log_fn(f"Stopping early at epoch {epoch}")
+                break
+
+        if epoch > int(cfg.num_epochs * 0.10) and test_tiles is None:
+            save_best(row[3], "ba_train", "ba-")
+            save_best(row[4], "f1_train", "f1-")
+        if test_tiles is not None and epoch > int(cfg.num_epochs * 0.5):
+            save_best(test_row[0], "ba_test", "ba-")
+            save_best(test_row[1], "f1_test", "f1-")
+            save_best(test_row[2], "precision_test", "precision-")
+
+        if epoch == cfg.num_epochs:
+            log_fn("Saving final GLOBAL model")
+            save_checkpoint(
+                model_path, {"params": params, "batch_stats": batch_stats}
+            )
+
+        if use_wandb:
+            import wandb
+
+            wandb.log({
+                "Epoch": epoch, "Learning Rate": lr,
+                "Loss": round(row[2], 4), "Accuracy": round(row[3], 4),
+                "Precision": round(row[5], 4), "Recall": round(row[6], 4),
+                "F1": round(row[4], 4),
+                "Test F1": round(test_row[1], 4) if test_row else 0.0,
+                "Test Accuracy": round(test_row[0], 4) if test_row else 0.0,
+            })
+
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, epoch=cfg.num_epochs), history

@@ -1,0 +1,111 @@
+"""Tiling and batching tests."""
+
+import numpy as np
+import pandas as pd
+
+from pointstowood_tpu.config import TilingConfig
+from pointstowood_tpu.data.dataset import TileBatcher, bucket_capacities, pad_tiles
+from pointstowood_tpu.data.tiling import Tile, preprocess_cloud
+
+
+def _cloud_df(n=2000, spread=3.0, seed=0, reflectance=True, labels=False):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "x": rng.uniform(0, spread, n),
+            "y": rng.uniform(0, spread, n),
+            "z": rng.uniform(0, spread, n),
+            "reflectance": rng.normal(size=n) if reflectance else np.zeros(n),
+        }
+    )
+    if labels:
+        df["label"] = rng.integers(0, 2, n).astype(float)
+    return df
+
+
+def test_preprocess_adds_nz_and_tiles():
+    df = _cloud_df(4000, spread=3.0)
+    cfg = TilingConfig(grid_size=(2.0,), min_pts=16, max_pts=1024)
+    tiles = preprocess_cloud(df, cfg)
+    assert "n_z" in df.columns
+    assert (df["n_z"] >= 0).all()
+    assert len(tiles) >= 1
+    for t in tiles:
+        assert 16 <= len(t) <= 1024
+        assert t.points.shape[1] == 4
+        assert np.isfinite(t.points).all()
+    # multi-scale: two grid sizes produce >= as many tiles
+    df2 = _cloud_df(4000, spread=3.0)
+    tiles2 = preprocess_cloud(df2, TilingConfig(grid_size=(2.0, 4.0), min_pts=16, max_pts=1024))
+    assert len(tiles2) > len(tiles)
+
+
+def test_preprocess_oversized_cells_subsample():
+    df = _cloud_df(5000, spread=1.0)  # all in one 2m cell
+    cfg = TilingConfig(grid_size=(2.0,), min_pts=16, max_pts=1000)
+    tiles = preprocess_cloud(df, cfg)
+    assert all(len(t) <= 1000 for t in tiles)
+    # weighted subsampling without replacement -> unique indices
+    assert len(tiles) == 1 and len(tiles[0]) == 1000
+
+
+def test_preprocess_reflectance_normalized_to_unit_range():
+    df = _cloud_df(3000, spread=1.0)
+    tiles = preprocess_cloud(df, TilingConfig(grid_size=(2.0,), min_pts=16, max_pts=4096))
+    refl = np.concatenate([t.points[:, 3] for t in tiles])
+    assert refl.min() >= -1.0 - 1e-6 and refl.max() <= 1.0 + 1e-6
+
+
+def test_preprocess_zero_reflectance_passthrough():
+    df = _cloud_df(1000, spread=1.0, reflectance=False)
+    tiles = preprocess_cloud(df, TilingConfig(grid_size=(2.0,), min_pts=16, max_pts=4096))
+    assert all((t.points[:, 3] == 0).all() for t in tiles)
+
+
+def test_preprocess_labels_column():
+    df = _cloud_df(1000, spread=1.0, labels=True)
+    tiles = preprocess_cloud(
+        df, TilingConfig(grid_size=(2.0,), min_pts=16, max_pts=4096), with_labels=True
+    )
+    assert all(t.points.shape[1] == 5 for t in tiles)
+    assert set(np.unique(tiles[0].points[:, 4])) <= {0.0, 1.0}
+
+
+def test_bucket_capacities():
+    assert bucket_capacities(128, 16384) == [256, 512, 1024, 2048, 4096, 8192, 16384]
+    assert bucket_capacities(128, 500) == [256, 500]
+
+
+def test_pad_tiles_centering_and_sf():
+    rng = np.random.default_rng(1)
+    t1 = rng.normal(size=(50, 4)).astype(np.float32)
+    t2 = rng.normal(size=(30, 4)).astype(np.float32)
+    batch = pad_tiles([t1, t2, np.zeros((0, 4), np.float32)], capacity=64)
+    assert batch.pos.shape == (3, 64, 3)
+    assert batch.mask.sum() == 80
+    # centered
+    np.testing.assert_allclose(batch.pos[0, :50].mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(batch.shift[0], t1[:, :3].mean(axis=0), rtol=1e-5)
+    # sf = max norm of centered points
+    np.testing.assert_allclose(
+        batch.sf[0],
+        np.linalg.norm(t1[:, :3] - t1[:, :3].mean(0), axis=1).max(),
+        rtol=1e-5,
+    )
+    # padded sample is fully invalid
+    assert not batch.mask[2].any() and batch.sf[2] == 1.0
+
+
+def test_tile_batcher_covers_all_tiles_and_pads_batch():
+    rng = np.random.default_rng(2)
+    tiles = [
+        Tile(points=rng.normal(size=(n, 4)).astype(np.float32), grid_size=2.0)
+        for n in [100, 200, 300, 600, 1000]
+    ]
+    batcher = TileBatcher(tiles, batch_size=2, min_pts=64, max_pts=1024)
+    seen = []
+    for cap, batch, idxs in batcher:
+        assert batch.pos.shape[0] == 2  # static batch dim
+        assert batch.pos.shape[1] == cap
+        seen.extend(idxs)
+    assert sorted(seen) == [0, 1, 2, 3, 4]  # nothing dropped

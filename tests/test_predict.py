@@ -1,0 +1,129 @@
+"""Fusion tests and the end-to-end predict CLI slice."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pointstowood_tpu.predict.fusion import fuse_labels
+
+
+def _fusion_oracle(classified, query_xyz, any_wood):
+    """Direct numpy restatement of the reference compute_labels
+    (predicter.py:113-127) + pykdtree query (predicter.py:136-137)."""
+    from scipy.spatial import cKDTree
+
+    k = 64 if any_wood == 1 else 32
+    k = min(k, classified.shape[0])
+    _, idx = cKDTree(classified[:, :3]).query(query_xyz, k=k)
+    if k == 1:
+        idx = idx[:, None]
+    nbr = classified[idx]  # (n, k, 5)
+    labels = np.zeros((query_xyz.shape[0], 2))
+    for i in range(query_xyz.shape[0]):
+        labels[i, 1] = np.median(nbr[i, :, -1])
+        if any_wood != 1:
+            labels[i, 0] = 1 if np.any(nbr[i, :, -2] > any_wood) else 0
+        else:
+            votes = np.zeros(k)
+            for j in range(k):
+                votes[j] = np.sum((nbr[i, :, -2] == j) * nbr[i, :, -1])
+            labels[i, 0] = np.argmax(votes)
+    return labels
+
+
+@pytest.mark.parametrize("any_wood", [1.0, 0.9])
+def test_fuse_labels_matches_reference_oracle(any_wood, rng):
+    m, n = 500, 100
+    classified = np.concatenate(
+        [
+            rng.uniform(0, 5, size=(m, 3)),
+            rng.integers(0, 2, size=(m, 1)).astype(float),
+            rng.uniform(0, 1, size=(m, 1)),
+        ],
+        axis=1,
+    )
+    query = rng.uniform(0, 5, size=(n, 3))
+    ours = fuse_labels(classified, query, is_wood=0.5, any_wood=any_wood, chunk=64)
+    ref = _fusion_oracle(classified, query, any_wood)
+    np.testing.assert_allclose(ours[:, 1], ref[:, 1], rtol=1e-6)
+    np.testing.assert_array_equal(ours[:, 0], ref[:, 0])
+
+
+def _synthetic_tree(n_wood=1500, n_leaf=2500, seed=7):
+    """A crude tree: vertical cylinder trunk (wood, bright reflectance) +
+    a diffuse crown (leaf, dim reflectance)."""
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, 2 * np.pi, n_wood)
+    r = rng.uniform(0, 0.15, n_wood)
+    trunk = np.stack(
+        [r * np.cos(theta), r * np.sin(theta), rng.uniform(0, 6, n_wood)], axis=1
+    )
+    crown = np.stack(
+        [
+            rng.normal(0, 1.2, n_leaf),
+            rng.normal(0, 1.2, n_leaf),
+            4.0 + rng.normal(0, 1.0, n_leaf),
+        ],
+        axis=1,
+    )
+    xyz = np.concatenate([trunk, crown])
+    refl = np.concatenate(
+        [rng.normal(2.0, 0.3, n_wood), rng.normal(-1.0, 0.5, n_leaf)]
+    )
+    labels = np.concatenate([np.ones(n_wood), np.zeros(n_leaf)])
+    df = pd.DataFrame(
+        {"x": xyz[:, 0] + 100.0, "y": xyz[:, 1] + 50.0, "z": xyz[:, 2],
+         "reflectance": refl, "truth": labels}
+    )
+    return df
+
+
+def test_predict_cli_end_to_end(tmp_path):
+    """Minimum end-to-end slice: synthetic PLY -> CLI -> labeled PLY."""
+    import jax
+    from pointstowood_tpu.io import read_ply, write_ply
+    from pointstowood_tpu.model import Net
+    from pointstowood_tpu.utils.checkpoint import save_checkpoint
+    import functools
+    import jax.numpy as jnp
+    import predict as predict_cli
+
+    df = _synthetic_tree()
+    cloud_path = str(tmp_path / "tree.ply")
+    write_ply(cloud_path, df.drop(columns=["truth"]))
+
+    # random-weight checkpoint in native format
+    net = Net()
+    init_fn = jax.jit(functools.partial(net.init, training=False))
+    variables = init_fn(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 256, 3)), jnp.zeros((1, 256)),
+        jnp.ones((1, 256), bool), jnp.ones((1,)),
+    )
+    model_path = str(tmp_path / "model.ckpt")
+    save_checkpoint(model_path, variables)
+
+    predict_cli.main(
+        [
+            "--point-cloud", cloud_path,
+            "--model", model_path,
+            "--grid_size", "4.0",
+            "--min_pts", "64",
+            "--max_pts", "1024",
+            "--batch_size", "2",
+            "--is-wood", "0.5",
+        ]
+    )
+
+    out_path = str(tmp_path / "tree_ours.ply")
+    assert os.path.exists(out_path)
+    out = read_ply(out_path)
+    for col in ("label", "pwood", "n_z"):
+        assert col in out.columns, out.columns
+    assert len(out) == len(df)
+    assert set(np.unique(out["label"])) <= {0.0, 1.0}
+    assert (out["pwood"] >= 0).all() and (out["pwood"] <= 1).all()
+    # xyz preserved
+    np.testing.assert_allclose(out["x"].to_numpy(), df["x"].to_numpy(), atol=1e-9)
