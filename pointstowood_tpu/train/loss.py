@@ -42,14 +42,14 @@ def poly1_focal_loss(
         labels = labels * (1.0 - label_smoothing) + 0.5 * label_smoothing
 
     p = jnp.clip(jax.nn.sigmoid(logits), eps, 1.0 - eps)
-    ce = jnp.clip(_bce_with_logits(logits, labels), a_max=100.0)
+    ce = jnp.clip(_bce_with_logits(logits, labels), max=100.0)
     pt = jnp.clip(labels * p + (1.0 - labels) * (1.0 - p), eps, 1.0 - eps)
-    focal_weight = jnp.clip(jnp.power(1.0 - pt, gamma), a_max=2.0)
+    focal_weight = jnp.clip(jnp.power(1.0 - pt, gamma), max=2.0)
     loss = focal_weight * ce
     if alpha is not None:
         alpha_t = alpha * labels + (1.0 - alpha) * (1.0 - labels)
         loss = alpha_t * loss
-    poly = jnp.clip(epsilon * jnp.power(1.0 - pt, gamma + 1.0), a_max=100.0)
+    poly = jnp.clip(epsilon * jnp.power(1.0 - pt, gamma + 1.0), max=100.0)
     loss = jnp.clip(loss + poly, 0.0, 100.0)
     loss = jnp.where(jnp.isnan(loss), 0.0, loss)
 

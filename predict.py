@@ -49,6 +49,8 @@ def parse_args(argv=None):
     parser.add_argument('--output_fmt', default='ply', help='file type of output')
     parser.add_argument('--vxdir', type=str, default=None,
                         help='optional directory to also write voxel_N.npy tiles')
+    parser.add_argument('--channels', type=int, default=32,
+                        help='backbone width C (must match the checkpoint)')
     parser.add_argument('--verbose', action='store_true', help='print stuff')
     return parser.parse_args(argv)
 
@@ -90,7 +92,7 @@ def main(argv=None):
         grid_size=tuple(args.grid_size), min_pts=args.min_pts,
         max_pts=args.max_pts, resolution=args.resolution,
     )
-    model_cfg = ModelConfig()
+    model_cfg = ModelConfig(channels=args.channels)
     predict_cfg = PredictConfig(
         batch_size=args.batch_size, is_wood=getattr(args, 'is_wood'),
         any_wood=getattr(args, 'any_wood'), output_fmt=args.output_fmt,
