@@ -70,13 +70,16 @@ def main():
         logits = net.apply(variables, pos, refl, mask, sf, training=False)
         return jax.nn.sigmoid(jnp.nan_to_num(logits))
 
+    # NOTE: block_until_ready is a no-op on this environment's tunneled TPU
+    # backend; a host readback of a reduced scalar is the only true sync.
+    reduce = jax.jit(lambda p: p.sum())
     for _ in range(WARMUP):
-        forward(variables, pos_j, refl_j, mask_j, sf_j).block_until_ready()
+        np.asarray(reduce(forward(variables, pos_j, refl_j, mask_j, sf_j)))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         probs = forward(variables, pos_j, refl_j, mask_j, sf_j)
-    probs.block_until_ready()
+    np.asarray(reduce(probs))  # true device sync
     elapsed = time.perf_counter() - t0
 
     pts_per_sec = BATCH * N * ITERS / elapsed

@@ -46,6 +46,10 @@ class ModelConfig:
     # static budget (overflow keeps lowest point indices).
     stage_fractions: Sequence[float] = (0.5, 0.5, 0.5)
     fp_k: int = 2  # kNN-interpolate neighbors in FP modules (model.py:215-218)
+    # 'approx': TPU PartialReduce neighbor selection (fast, ~0.95 recall
+    # with boundary-tie swaps only); 'exact': fp32 streaming top-k parity
+    # path. See ops/knn.py.
+    knn_mode: str = "approx"
 
 
 @dataclasses.dataclass(frozen=True)

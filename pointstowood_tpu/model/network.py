@@ -56,6 +56,7 @@ class SAStage(nn.Module):
     capacity: int  # static number of center slots
     use_radius: bool  # SA1 uses radius search (r = 2*resolution)
     knn_chunk: int = 1024
+    knn_method: str = "approx"
 
     @nn.compact
     def __call__(self, x, pos3, refl, mask, sf, training: bool,
@@ -83,13 +84,15 @@ class SAStage(nn.Module):
             nbr_idx, _, nbr_valid = jax.vmap(
                 lambda q, s, qm, sm: radius_masked(
                     q, s, radius=self.resolution * 2, k=self.k,
-                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk)
+                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
+                    method=self.knn_method)
             )(centers, pos3, center_valid, mask)
         else:
             nbr_idx, _, nbr_valid = jax.vmap(
                 lambda q, s, qm, sm: knn_masked(
                     q, s, k=self.k,
-                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk)
+                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
+                    method=self.knn_method)
             )(centers, pos3, center_valid, mask)
 
         # The conv sees positions divided by the per-sample scale factor
@@ -126,6 +129,9 @@ class Net(nn.Module):
     stage_fractions: Sequence[float] = (0.5, 0.5, 0.5)
     fp_k: int = 2
     knn_chunk: int = 1024
+    # 'approx': TPU PartialReduce selection, bf16 distance matmuls (fast
+    # path); 'exact': fp32 streaming top-k (parity path). See ops/knn.py.
+    knn_method: str = "approx"
 
     @nn.compact
     def __call__(self, pos3, refl, mask, sf, training: bool = False):
@@ -155,7 +161,7 @@ class Net(nn.Module):
             x, p, r, m = SAStage(
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,
-                name=f"sa{i + 1}_module",
+                knn_method=self.knn_method, name=f"sa{i + 1}_module",
             )(x, p, r, m, sf, training, use_running_average=ura)
             xs.append(x)
             poss.append(p)
@@ -185,7 +191,8 @@ class Net(nn.Module):
             interp = jax.vmap(
                 lambda feat, src, tgt, sm, tm: knn_interpolate(
                     feat, src, tgt, k=self.fp_k, source_mask=sm,
-                    target_mask=tm, chunk_size=self.knn_chunk)
+                    target_mask=tm, chunk_size=self.knn_chunk,
+                    method=self.knn_method)
             )(y, poss[lvl + 1], poss[lvl], masks[lvl + 1], masks[lvl])
             y = RefMLP(widths, name=name)(
                 jnp.concatenate([interp, xs[lvl]], axis=-1), mask=masks[lvl],

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from pointstowood_tpu.ops.knn import knn_masked
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "method"))
 def knn_interpolate(
     x: jax.Array,
     pos: jax.Array,
@@ -25,6 +25,7 @@ def knn_interpolate(
     source_mask: jax.Array | None = None,
     target_mask: jax.Array | None = None,
     chunk_size: int = 2048,
+    method: str = "approx",
 ) -> jax.Array:
     """Interpolate (S, C) features at (T, 3) target positions.
 
@@ -35,6 +36,7 @@ def knn_interpolate(
     idx, d2, valid = knn_masked(
         target_pos, pos, k,
         query_mask=target_mask, source_mask=source_mask, chunk_size=chunk_size,
+        method=method,
     )
     w = 1.0 / jnp.maximum(d2, 1e-16)
     w = jnp.where(valid, w, 0.0)

@@ -38,6 +38,7 @@ def build_net(model_cfg: ModelConfig, knn_chunk: int = 2048) -> Net:
         stage_fractions=tuple(model_cfg.stage_fractions),
         fp_k=model_cfg.fp_k,
         knn_chunk=knn_chunk,
+        knn_method=model_cfg.knn_mode,
     )
 
 

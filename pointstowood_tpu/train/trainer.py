@@ -171,6 +171,7 @@ def semantic_training(
         num_classes=model_cfg.num_classes, channels=model_cfg.channels,
         k=model_cfg.k, sa_resolutions=tuple(model_cfg.sa_resolutions),
         stage_fractions=tuple(model_cfg.stage_fractions), fp_k=model_cfg.fp_k,
+        knn_method=model_cfg.knn_mode,
     )
     tx = make_optimizer(cfg)
 

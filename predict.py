@@ -51,6 +51,10 @@ def parse_args(argv=None):
                         help='optional directory to also write voxel_N.npy tiles')
     parser.add_argument('--channels', type=int, default=32,
                         help='backbone width C (must match the checkpoint)')
+    parser.add_argument('--exact_knn', action='store_true',
+                        help='exact fp32 neighbor search (parity mode; the '
+                             'default approx mode is ~40x faster at ~0.95 '
+                             'neighbor recall)')
     parser.add_argument('--verbose', action='store_true', help='print stuff')
     return parser.parse_args(argv)
 
@@ -92,7 +96,10 @@ def main(argv=None):
         grid_size=tuple(args.grid_size), min_pts=args.min_pts,
         max_pts=args.max_pts, resolution=args.resolution,
     )
-    model_cfg = ModelConfig(channels=args.channels)
+    model_cfg = ModelConfig(
+        channels=args.channels,
+        knn_mode='exact' if args.exact_knn else 'approx',
+    )
     predict_cfg = PredictConfig(
         batch_size=args.batch_size, is_wood=getattr(args, 'is_wood'),
         any_wood=getattr(args, 'any_wood'), output_fmt=args.output_fmt,
