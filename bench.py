@@ -58,7 +58,7 @@ def main():
     mask = np.ones((BATCH, N), bool)
     sf = np.linalg.norm(pos, axis=2).max(axis=1).astype(np.float32)
 
-    net = Net()
+    net = Net(dtype=jnp.bfloat16)
     pos_j, refl_j = jnp.asarray(pos), jnp.asarray(refl)
     mask_j, sf_j = jnp.asarray(mask), jnp.asarray(sf)
     variables = jax.jit(functools.partial(net.init, training=False))(

@@ -72,14 +72,21 @@ class MaskedBatchNorm(nn.Module):
 class RefMLP(nn.Module):
     """The reference's MLP factory (model.py:198-202): for channel list
     [c0, c1, ..., cn], each block is Linear -> ReLU, with a BatchNorm after
-    the ReLU on every block except the first."""
+    the ReLU on every block except the first.
+
+    ``dtype`` is the compute dtype (activations + matmul); parameters and
+    BatchNorm statistics stay fp32. bfloat16 here is the TPU analogue of
+    the reference's AMP autocast (trainer.py:174, predicter.py:197).
+    """
 
     channels: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average: bool = False):
+        x = x.astype(self.dtype)
         for i in range(1, len(self.channels)):
-            x = nn.Dense(self.channels[i], name=f"lin{i}")(x)
+            x = nn.Dense(self.channels[i], name=f"lin{i}", dtype=self.dtype)(x)
             x = nn.relu(x)
             if i != 1:
                 x = MaskedBatchNorm(self.channels[i], name=f"bn{i}")(
@@ -98,17 +105,18 @@ class DepthwiseSeparableBlock(nn.Module):
     """
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average: bool = False):
         dw_scale = self.param("dw_scale", nn.initializers.ones, (self.features,))
         dw_bias = self.param("dw_bias", nn.initializers.zeros, (self.features,))
-        x = x * dw_scale + dw_bias
+        x = x * dw_scale.astype(self.dtype) + dw_bias.astype(self.dtype)
         x = MaskedBatchNorm(self.features, name="dw_bn")(
             x, mask=mask, use_running_average=use_running_average
         )
         x = nn.relu(x)
-        x = nn.Dense(self.features, name="pw")(x)
+        x = nn.Dense(self.features, name="pw", dtype=self.dtype)(x)
         x = MaskedBatchNorm(self.features, name="pw_bn")(
             x, mask=mask, use_running_average=use_running_average
         )
@@ -123,20 +131,23 @@ class InvertedResidualBlock(nn.Module):
 
     features: int
     expansion_factor: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average: bool = False):
         ura = use_running_average
+        dt = self.dtype
         expanded = self.features * self.expansion_factor
-        h = nn.Dense(expanded, name="expand")(x)
+        x = x.astype(dt)
+        h = nn.Dense(expanded, name="expand", dtype=dt)(x)
         h = MaskedBatchNorm(expanded, name="expand_bn")(h, mask=mask, use_running_average=ura)
         h = nn.relu(h)
-        h = DepthwiseSeparableBlock(expanded, name="ds1")(h, mask=mask, use_running_average=ura)
+        h = DepthwiseSeparableBlock(expanded, name="ds1", dtype=dt)(h, mask=mask, use_running_average=ura)
         h = MaskedBatchNorm(expanded, name="mid_bn")(h, mask=mask, use_running_average=ura)
         h = nn.relu(h)
-        h = DepthwiseSeparableBlock(expanded, name="ds2")(h, mask=mask, use_running_average=ura)
+        h = DepthwiseSeparableBlock(expanded, name="ds2", dtype=dt)(h, mask=mask, use_running_average=ura)
         h = MaskedBatchNorm(expanded, name="out_bn")(h, mask=mask, use_running_average=ura)
-        h = nn.Dense(self.features, name="project")(h)
+        h = nn.Dense(self.features, name="project", dtype=dt)(h)
         h = MaskedBatchNorm(self.features, name="project_bn")(h, mask=mask, use_running_average=ura)
         return nn.relu(h + x)
 

@@ -57,6 +57,7 @@ class SAStage(nn.Module):
     use_radius: bool  # SA1 uses radius search (r = 2*resolution)
     knn_chunk: int = 1024
     knn_method: str = "approx"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos3, refl, mask, sf, training: bool,
@@ -100,11 +101,12 @@ class SAStage(nn.Module):
         pos4 = jnp.concatenate(
             [pos3 / sf[:, None, None], refl[..., None]], axis=-1
         )
-        x = PointConv(self.nn_channels, name="conv")(
+        x = PointConv(self.nn_channels, name="conv", dtype=self.dtype)(
             x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
             use_running_average=use_running_average,
         )
-        x = InvertedResidualBlock(self.out_features, name="residual_block")(
+        x = InvertedResidualBlock(self.out_features, name="residual_block",
+                                  dtype=self.dtype)(
             x, mask=center_valid, use_running_average=use_running_average
         )
         pos3 = gather_points(pos3, center_idx)
@@ -132,6 +134,13 @@ class Net(nn.Module):
     # 'approx': TPU PartialReduce selection, bf16 distance matmuls (fast
     # path); 'exact': fp32 streaming top-k (parity path). See ops/knn.py.
     knn_method: str = "approx"
+    # Compute dtype for MLP/conv activations (parameters and BN stats stay
+    # fp32). bfloat16 is the TPU analogue of the reference's AMP autocast
+    # (trainer.py:174, predicter.py:197); geometry (kNN, interpolation
+    # weights, relative positions) always runs fp32. The production configs
+    # (ModelConfig.compute_dtype) default to bfloat16; the class default is
+    # fp32 so direct Net() construction is exact.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pos3, refl, mask, sf, training: bool = False):
@@ -144,7 +153,7 @@ class Net(nn.Module):
             cap = max(int(cap * f), 1)
             caps.append(cap)
 
-        x0 = RefMLP((3, c), name="stem_mlp")(
+        x0 = RefMLP((3, c), name="stem_mlp", dtype=self.dtype)(
             pos3, mask=mask, use_running_average=ura
         )
 
@@ -161,7 +170,8 @@ class Net(nn.Module):
             x, p, r, m = SAStage(
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,
-                knn_method=self.knn_method, name=f"sa{i + 1}_module",
+                knn_method=self.knn_method, dtype=self.dtype,
+                name=f"sa{i + 1}_module",
             )(x, p, r, m, sf, training, use_running_average=ura)
             xs.append(x)
             poss.append(p)
@@ -169,15 +179,18 @@ class Net(nn.Module):
 
         # Global stage (GlobalSAModule, model.py:129-140): MLP on [x, pos3]
         # then per-sample masked max pool.
-        g = RefMLP((c * 16 + 3, c * 16, c * 16), name="sa4_module")(
-            jnp.concatenate([x, p], axis=-1), mask=m, use_running_average=ura
+        g = RefMLP((c * 16 + 3, c * 16, c * 16), name="sa4_module",
+                   dtype=self.dtype)(
+            jnp.concatenate([x, p.astype(x.dtype)], axis=-1), mask=m,
+            use_running_average=ura,
         )
         neg = jnp.finfo(g.dtype).min
         g = jnp.max(jnp.where(m[..., None], g, neg), axis=1)  # (B, 16C)
 
         # FP4: interpolation from the single global point == broadcast.
         y = jnp.broadcast_to(g[:, None, :], (g.shape[0], caps[2], g.shape[-1]))
-        y = RefMLP((c * 32, c * 24, c * 16), name="fp4_module")(
+        y = RefMLP((c * 32, c * 24, c * 16), name="fp4_module",
+                   dtype=self.dtype)(
             jnp.concatenate([y, xs[3]], axis=-1), mask=masks[3],
             use_running_average=ura,
         )
@@ -194,18 +207,18 @@ class Net(nn.Module):
                     target_mask=tm, chunk_size=self.knn_chunk,
                     method=self.knn_method)
             )(y, poss[lvl + 1], poss[lvl], masks[lvl + 1], masks[lvl])
-            y = RefMLP(widths, name=name)(
-                jnp.concatenate([interp, xs[lvl]], axis=-1), mask=masks[lvl],
-                use_running_average=ura,
+            y = RefMLP(widths, name=name, dtype=self.dtype)(
+                jnp.concatenate([interp.astype(self.dtype), xs[lvl]], axis=-1),
+                mask=masks[lvl], use_running_average=ura,
             )
 
         # Head (model.py:220-222, 241-243): Conv1d -> BN -> ReLU -> Conv1d.
-        y = nn.Dense(c * 16, name="conv1")(y)
+        y = nn.Dense(c * 16, name="conv1", dtype=self.dtype)(y)
         y = MaskedBatchNorm(c * 16, name="norm")(
             y, mask=mask, use_running_average=ura
         )
         y = nn.relu(y)
-        y = nn.Dense(self.num_classes, name="conv2")(y)
+        y = nn.Dense(self.num_classes, name="conv2", dtype=self.dtype)(y)
         y = y.astype(jnp.float32)
         if self.num_classes == 1:
             y = y[..., 0]

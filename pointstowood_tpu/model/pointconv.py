@@ -45,23 +45,26 @@ class PointConv(nn.Module):
     """
 
     channels: tuple  # local_nn widths, e.g. (C+4, 2C, 4C)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
                  use_running_average: bool = False):
         pos_j = gather_points(pos4, nbr_idx)              # (B, S, k, 4)
         pos_i = gather_points(pos4, center_idx)           # (B, S, 4)
+        # geometry in fp32 (relative positions of nearby points would lose
+        # ~all precision in bf16); the MLP compute runs in self.dtype.
         rel = pos_j[..., :3] - pos_i[..., None, :3]       # (B, S, k, 3)
         dist = jnp.linalg.norm(rel, axis=-1)              # (B, S, k)
         max_dist = jnp.max(jnp.where(nbr_valid, dist, 0.0), axis=-1, keepdims=True)
-        geo = rel / (max_dist[..., None] + 1e-8)
-        refl_j = pos_j[..., 3:4]
+        geo = (rel / (max_dist[..., None] + 1e-8)).astype(self.dtype)
+        refl_j = pos_j[..., 3:4].astype(self.dtype)
         if x is None:
             msg = jnp.concatenate([geo, refl_j], axis=-1)
         else:
-            x_j = gather_points(x, nbr_idx)               # (B, S, k, C_in)
+            x_j = gather_points(x.astype(self.dtype), nbr_idx)  # (B, S, k, C_in)
             msg = jnp.concatenate([x_j, geo, refl_j], axis=-1)
-        msg = RefMLP(self.channels, name="local_nn")(
+        msg = RefMLP(self.channels, name="local_nn", dtype=self.dtype)(
             msg, mask=nbr_valid, use_running_average=use_running_average
         )
         neg = jnp.finfo(msg.dtype).min

@@ -194,19 +194,39 @@ void grid_knn_f64(const double* src, int64_t m, const double* qry, int64_t n,
                   int32_t k, double cell, int64_t* out_idx,
                   double* out_dist2) {
   if (m <= 0 || n <= 0 || k <= 0) return;
+  double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+  for (int64_t i = 0; i < m; ++i)
+    for (int a = 0; a < 3; ++a) {
+      double v = src[3 * i + a];
+      if (v < lo[a]) lo[a] = v;
+      if (v > hi[a]) hi[a] = v;
+    }
+  double ext[3] = {hi[0] - lo[0], hi[1] - lo[1], hi[2] - lo[2]};
+  double max_ext = std::max({ext[0], ext[1], ext[2], 1e-12});
   if (cell <= 0) {
-    double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
-    for (int64_t i = 0; i < m; ++i)
-      for (int a = 0; a < 3; ++a) {
-        double v = src[3 * i + a];
-        if (v < lo[a]) lo[a] = v;
-        if (v > hi[a]) hi[a] = v;
+    // ~2*k points per cell in the cloud's *effective* dimensionality:
+    // degenerate (flat/linear) extents contribute one cell, not a
+    // near-zero factor that would explode the grid.
+    double eps = 1e-9 * max_ext;
+    double measure = 1.0;
+    int eff = 0;
+    for (int a = 0; a < 3; ++a)
+      if (ext[a] > eps) {
+        measure *= ext[a];
+        ++eff;
       }
-    double vol = std::max(1e-12, (hi[0] - lo[0]) * (hi[1] - lo[1]) *
-                                     (hi[2] - lo[2]));
-    cell = std::cbrt(vol * 2.0 / (double)m);
+    if (eff == 0) {
+      cell = 1.0;  // all points coincide
+    } else {
+      cell = std::pow(measure * 2.0 * std::max(1, (int)k) / (double)m,
+                      1.0 / eff);
+    }
     if (!(cell > 0)) cell = 1.0;
   }
+  // Bound the grid: no axis beyond 2^20 cells (ring search stays sane even
+  // with adversarial cell sizes).
+  double min_cell = max_ext / (double)(1 << 20);
+  if (cell < min_cell) cell = min_cell;
   Grid g;
   build_grid(src, m, cell, &g);
   std::vector<double> dbuf;

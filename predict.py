@@ -51,6 +51,10 @@ def parse_args(argv=None):
                         help='optional directory to also write voxel_N.npy tiles')
     parser.add_argument('--channels', type=int, default=32,
                         help='backbone width C (must match the checkpoint)')
+    parser.add_argument('--dtype', default='bfloat16',
+                        choices=['bfloat16', 'float32'],
+                        help='activation compute dtype (bfloat16 = AMP-'
+                             'equivalent fast path, float32 = exact)')
     parser.add_argument('--exact_knn', action='store_true',
                         help='exact fp32 neighbor search (parity mode; the '
                              'default approx mode is ~40x faster at ~0.95 '
@@ -99,6 +103,7 @@ def main(argv=None):
     model_cfg = ModelConfig(
         channels=args.channels,
         knn_mode='exact' if args.exact_knn else 'approx',
+        compute_dtype=args.dtype,
     )
     predict_cfg = PredictConfig(
         batch_size=args.batch_size, is_wood=getattr(args, 'is_wood'),

@@ -114,6 +114,7 @@ def test_predict_cli_end_to_end(tmp_path):
             "--max_pts", "1024",
             "--batch_size", "2",
             "--is-wood", "0.5",
+            "--dtype", "float32",
         ]
     )
 

@@ -1,0 +1,88 @@
+"""Analysis-tooling tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from pointstowood_tpu.tools.clustering import euclidean_cluster
+from pointstowood_tpu.tools.pathlength import pathlengths
+from pointstowood_tpu.tools.compare import compare_directory
+from pointstowood_tpu.tools.collect_attribute import collect_attributes
+from pointstowood_tpu.tools.split_ply import split_and_save_ply
+from pointstowood_tpu.io import read_ply, write_ply
+
+
+def test_euclidean_cluster_two_blobs(rng):
+    a = rng.normal(0, 0.01, size=(50, 3))
+    b = rng.normal(0, 0.01, size=(60, 3)) + 10.0
+    labels = euclidean_cluster(np.concatenate([a, b]), tolerance=0.5)
+    assert len(set(labels[:50])) == 1 and len(set(labels[50:])) == 1
+    assert labels[0] != labels[60]
+
+
+def test_euclidean_cluster_size_filter(rng):
+    a = rng.normal(0, 0.01, size=(50, 3))
+    b = rng.normal(0, 0.01, size=(3, 3)) + 10.0
+    labels = euclidean_cluster(np.concatenate([a, b]), tolerance=0.5, min_size=10)
+    assert (labels[50:] == -1).all()
+    assert (labels[:50] == labels[0]).all() and labels[0] >= 0
+
+
+def test_pathlength_line():
+    # evenly spaced points along a line (kNN graph fully connected):
+    # pathlength == distance from the lowest point
+    z = np.linspace(0, 10, 100)
+    xyz = np.stack([np.zeros(100), np.zeros(100), z], axis=1)
+    d = pathlengths(xyz, knn=3)
+    np.testing.assert_allclose(d, z, rtol=1e-6, atol=1e-9)
+
+
+def test_pathlength_disconnected_fill(rng):
+    # a far-away blob is unreachable; it gets the max finite path length
+    line = np.stack([np.zeros(50), np.zeros(50), np.linspace(0, 5, 50)], axis=1)
+    blob = rng.normal(0, 0.01, size=(10, 3)) + [50, 0, 10]
+    d = pathlengths(np.concatenate([line, blob]), knn=3)
+    assert np.isfinite(d).all()
+    np.testing.assert_allclose(d[50:], d[:50].max(), rtol=1e-6)
+
+
+def test_collect_attributes(rng):
+    src = pd.DataFrame(rng.uniform(0, 1, (100, 3)), columns=["x", "y", "z"])
+    src["label"] = np.arange(100).astype(float)
+    tgt = src[["x", "y", "z"]].copy() + 1e-6
+    out = collect_attributes(tgt, src, ["label"])
+    np.testing.assert_array_equal(out["label"].to_numpy(), np.arange(100))
+    # distance cutoff blanks far transfers
+    far = src[["x", "y", "z"]].copy() + 100.0
+    out2 = collect_attributes(far, src, ["label"], max_distance=0.5)
+    assert (out2["label"].to_numpy() == 0).all()
+
+
+def test_split_ply(tmp_path, rng):
+    df = pd.DataFrame(rng.uniform(0, 10, (500, 3)), columns=["x", "y", "z"])
+    p = str(tmp_path / "c.ply")
+    write_ply(p, df)
+    p1, p2 = split_and_save_ply(p)
+    a, b = read_ply(p1), read_ply(p2)
+    assert len(a) + len(b) == 500
+    assert abs(len(a) - 400) <= 5  # ~80th percentile
+    assert a["x"].max() <= b["x"].min()
+
+
+def test_compare_directory(tmp_path, rng):
+    n = 400
+    truth = rng.integers(0, 2, n).astype(float)
+    base = pd.DataFrame(rng.uniform(0, 5, (n, 3)), columns=["x", "y", "z"])
+    ours = base.copy()
+    ours["truth"] = truth
+    ours["label"] = truth  # perfect predictions
+    fsct = base.copy()
+    fsct["truth"] = truth
+    fsct["label"] = np.where(truth > 0, 2.0, 0.0)  # FSCT's label==2 wood code
+    write_ply(str(tmp_path / "pol_plot_ours.ply"), ours)
+    write_ply(str(tmp_path / "pol_plot_fsct.ply"), fsct)
+    df = compare_directory(str(tmp_path))
+    assert set(df["model"]) == {"ours", "fsct"}
+    assert (df["balanced_accuracy"] == 1.0).all()
+    assert (df["country"] == "Poland").all()

@@ -43,7 +43,7 @@ def test_semantic_training_loss_decreases(tmp_path):
 
     cfg = TrainConfig(num_epochs=3, batch_size=2, learning_rate=1e-3)
     # small model for CPU test speed
-    model_cfg = ModelConfig(channels=8)
+    model_cfg = ModelConfig(channels=8, compute_dtype="float32")
     state, history = semantic_training(
         tiles, cfg, model_cfg, tiling, wdir=str(tmp_path), model_name="m.ckpt",
         checkpoints=[2], verbose=False, log_fn=lambda s: None,
@@ -89,6 +89,7 @@ def test_train_cli_end_to_end(tmp_path):
         "--grid_size", "4.0",
         "--model", "m.ckpt",
         "--channels", "8",
+        "--dtype", "float32",
     ])
     assert os.path.exists(tmp_path / "model" / "m.ckpt")
     assert os.path.exists(tmp_path / "model" / "m_history.csv")

@@ -42,6 +42,10 @@ def parse_args(argv=None):
                         help='working directory containing data/ and model/')
     parser.add_argument('--channels', type=int, default=32,
                         help='backbone width C (reference fixes C=32)')
+    parser.add_argument('--dtype', default='bfloat16',
+                        choices=['bfloat16', 'float32'],
+                        help='activation compute dtype (bfloat16 = AMP-'
+                             'equivalent fast path, float32 = exact)')
     parser.add_argument('--verbose', action='store_true')
     return parser.parse_args(argv)
 
@@ -126,7 +130,8 @@ def main(argv=None):
     if args.verbose:
         print('\n----- Semantic segmentation started -----')
     semantic_training(
-        train_tiles, train_cfg, ModelConfig(channels=args.channels), tiling_cfg,
+        train_tiles, train_cfg,
+        ModelConfig(channels=args.channels, compute_dtype=args.dtype), tiling_cfg,
         wdir=args.wdir, model_name=args.model, test_tiles=test_tiles,
         checkpoints=checkpoints.tolist(), use_wandb=args.wandb,
         verbose=args.verbose,
