@@ -38,8 +38,8 @@ from pointstowood_tpu.model.layers import (
     ReflectanceGate,
 )
 from pointstowood_tpu.model.pointconv import PointConv, gather_points
-from pointstowood_tpu.ops.interpolate import knn_interpolate
-from pointstowood_tpu.ops.knn import knn_masked, radius_masked
+from pointstowood_tpu.ops.interpolate import knn_interpolate_batched
+from pointstowood_tpu.ops.knn import knn_masked
 from pointstowood_tpu.ops.sampling import random_sample
 from pointstowood_tpu.ops.voxel import voxel_cell_ids, voxel_representatives
 
@@ -81,29 +81,30 @@ class SAStage(nn.Module):
             )(ids, mask)
 
         centers = gather_points(pos3, center_idx)
-        if self.use_radius:
-            nbr_idx, _, nbr_valid = jax.vmap(
-                lambda q, s, qm, sm: radius_masked(
-                    q, s, radius=self.resolution * 2, k=self.k,
-                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
-                    method=self.knn_method)
-            )(centers, pos3, center_valid, mask)
-        else:
-            nbr_idx, _, nbr_valid = jax.vmap(
-                lambda q, s, qm, sm: knn_masked(
-                    q, s, k=self.k,
-                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
-                    method=self.knn_method)
-            )(centers, pos3, center_valid, mask)
+        # k nearest (exact distances are not needed here: the SA1 radius cap
+        # is applied inside PointConv from its fp32 relative positions, and
+        # SA2/SA3 only need validity — skipping the distance recompute saves
+        # one (B, S, k, 3) gather per stage, the dominant TPU cost).
+        nbr_idx, _, nbr_valid = jax.vmap(
+            lambda q, s, qm, sm: knn_masked(
+                q, s, k=self.k,
+                query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
+                method=self.knn_method, with_dist=False)
+        )(centers, pos3, center_valid, mask)
 
         # The conv sees positions divided by the per-sample scale factor
         # (model.py:122); reflectance rides along unscaled as column 3.
         pos4 = jnp.concatenate(
             [pos3 / sf[:, None, None], refl[..., None]], axis=-1
         )
+        # radius search (SA1, model.py:117-118) operates in unscaled
+        # coordinates; in the scaled frame the cap becomes radius / sf.
+        radius = (
+            (self.resolution * 2) / sf[:, None, None] if self.use_radius else None
+        )
         x = PointConv(self.nn_channels, name="conv", dtype=self.dtype)(
             x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
-            use_running_average=use_running_average,
+            radius=radius, use_running_average=use_running_average,
         )
         x = InvertedResidualBlock(self.out_features, name="residual_block",
                                   dtype=self.dtype)(
@@ -201,12 +202,11 @@ class Net(nn.Module):
             ((c * 17, c * 16, c * 16), "fp1_module", 0),
         ]
         for widths, name, lvl in fp_specs:
-            interp = jax.vmap(
-                lambda feat, src, tgt, sm, tm: knn_interpolate(
-                    feat, src, tgt, k=self.fp_k, source_mask=sm,
-                    target_mask=tm, chunk_size=self.knn_chunk,
-                    method=self.knn_method)
-            )(y, poss[lvl + 1], poss[lvl], masks[lvl + 1], masks[lvl])
+            interp = knn_interpolate_batched(
+                y, poss[lvl + 1], poss[lvl], k=self.fp_k,
+                source_mask=masks[lvl + 1], target_mask=masks[lvl],
+                chunk_size=self.knn_chunk, method=self.knn_method,
+            )
             y = RefMLP(widths, name=name, dtype=self.dtype)(
                 jnp.concatenate([interp.astype(self.dtype), xs[lvl]], axis=-1),
                 mask=masks[lvl], use_running_average=ura,

@@ -7,6 +7,14 @@ build per-edge messages, run the local MLP over the dense (B, S, k, C)
 block (pure matmuls on the MXU), and reduce with a masked max over the k
 axis.
 
+Gather strategy: on TPU the row gather is op-overhead bound (measured
+~6 ns/row regardless of row width), so features and positions are fused
+into ONE neighbor gather on a flattened (B*N, C+4) array — measured 1.7x
+faster than take_along_axis and half the gather count. The SA1 radius
+filter also happens here (instead of a separate distance recompute in the
+kNN op): the fp32 relative positions needed for the message are exactly
+the distances the radius test needs.
+
 Message layout matches the reference exactly (pointnet.py:116-132):
 ``[x_j, (pos_j - pos_i) / (max_dist_i + 1e-8), reflectance_j]`` where
 ``max_dist_i`` is the per-center maximum neighbor distance (the reference's
@@ -21,12 +29,20 @@ from flax import linen as nn
 from pointstowood_tpu.model.layers import RefMLP
 
 
-def gather_points(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Batched gather: arr (B, N, C), idx (B, ...) -> (B, ..., C)."""
-    b = arr.shape[0]
-    flat = idx.reshape(b, -1)
-    out = jnp.take_along_axis(arr, flat[..., None], axis=1)
-    return out.reshape(idx.shape + (arr.shape[-1],))
+def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather via one flat global gather: arr (B, N, C),
+    idx (B, ...) -> (B, ..., C). Flattening to (B*N, C) with offset indices
+    is measurably faster than take_along_axis on TPU."""
+    b, n, c = arr.shape
+    flat_idx = idx.reshape(b, -1) + (
+        jnp.arange(b, dtype=jnp.int32) * jnp.int32(n)
+    )[:, None]
+    out = arr.reshape(b * n, c)[flat_idx.reshape(-1)]
+    return out.reshape(idx.shape + (c,))
+
+
+# Backwards-compatible alias (older call sites / tests).
+gather_points = gather_rows
 
 
 class PointConv(nn.Module):
@@ -41,6 +57,11 @@ class PointConv(nn.Module):
       nbr_idx:    (B, S, k) int32 neighbor indices into the sources
       nbr_valid:  (B, S, k) bool neighbor validity
       center_valid: (B, S) bool
+      radius:     optional radius cap — neighbors farther than this (in the
+                  *scaled* coordinates of pos4) are masked out, reproducing
+                  the reference SA1 radius search (model.py:118). Note the
+                  reference searches in unscaled coordinates; the caller
+                  passes radius/sf-corrected values (see SAStage).
     Output: (B, S, C_out) features, zero at invalid centers.
     """
 
@@ -49,20 +70,28 @@ class PointConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
-                 use_running_average: bool = False):
-        pos_j = gather_points(pos4, nbr_idx)              # (B, S, k, 4)
-        pos_i = gather_points(pos4, center_idx)           # (B, S, 4)
+                 radius=None, use_running_average: bool = False):
+        if x is None:
+            src = pos4
+        else:
+            # ONE fused gather for features + geometry.
+            src = jnp.concatenate([x.astype(jnp.float32), pos4], axis=-1)
+        gathered = gather_rows(src, nbr_idx)              # (B, S, k, C_in+4)
+        pos_j = gathered[..., -4:]
+        pos_i = gather_rows(pos4, center_idx)             # (B, S, 4)
         # geometry in fp32 (relative positions of nearby points would lose
         # ~all precision in bf16); the MLP compute runs in self.dtype.
         rel = pos_j[..., :3] - pos_i[..., None, :3]       # (B, S, k, 3)
         dist = jnp.linalg.norm(rel, axis=-1)              # (B, S, k)
+        if radius is not None:
+            nbr_valid = nbr_valid & (dist <= radius)
         max_dist = jnp.max(jnp.where(nbr_valid, dist, 0.0), axis=-1, keepdims=True)
         geo = (rel / (max_dist[..., None] + 1e-8)).astype(self.dtype)
         refl_j = pos_j[..., 3:4].astype(self.dtype)
         if x is None:
             msg = jnp.concatenate([geo, refl_j], axis=-1)
         else:
-            x_j = gather_points(x.astype(self.dtype), nbr_idx)  # (B, S, k, C_in)
+            x_j = gathered[..., :-4].astype(self.dtype)   # (B, S, k, C_in)
             msg = jnp.concatenate([x_j, geo, refl_j], axis=-1)
         msg = RefMLP(self.channels, name="local_nn", dtype=self.dtype)(
             msg, mask=nbr_valid, use_running_average=use_running_average

@@ -44,3 +44,40 @@ def knn_interpolate(
     num = jnp.sum(feats * w[..., None], axis=1)
     den = jnp.sum(w, axis=1, keepdims=True)
     return num / jnp.maximum(den, 1e-16)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "method"))
+def knn_interpolate_batched(
+    x: jax.Array,
+    pos: jax.Array,
+    target_pos: jax.Array,
+    k: int = 2,
+    source_mask: jax.Array | None = None,
+    target_mask: jax.Array | None = None,
+    chunk_size: int = 2048,
+    method: str = "approx",
+) -> jax.Array:
+    """Batched variant: x (B, S, C), pos (B, S, 3), target (B, T, 3) ->
+    (B, T, C). The neighbor search is vmapped per sample (sources are
+    per-sample), but the feature gather is one flat global row gather —
+    the faster TPU formulation (see pointconv.gather_rows)."""
+    from pointstowood_tpu.model.pointconv import gather_rows
+
+    def search(q, s, qm, sm):
+        return knn_masked(
+            q, s, k,
+            query_mask=qm, source_mask=sm, chunk_size=chunk_size, method=method,
+        )
+
+    b = x.shape[0]
+    smask = jnp.ones(pos.shape[:2], bool) if source_mask is None else source_mask
+    tmask = (
+        jnp.ones(target_pos.shape[:2], bool) if target_mask is None else target_mask
+    )
+    idx, d2, valid = jax.vmap(search)(target_pos, pos, tmask, smask)
+    w = 1.0 / jnp.maximum(d2, 1e-16)
+    w = jnp.where(valid, w, 0.0)
+    feats = gather_rows(x, idx)  # (B, T, k, C)
+    num = jnp.sum(feats * w[..., None].astype(feats.dtype), axis=2)
+    den = jnp.sum(w, axis=2, keepdims=True)
+    return num / jnp.maximum(den, 1e-16).astype(num.dtype)

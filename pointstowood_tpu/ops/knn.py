@@ -73,8 +73,14 @@ def _exact_knn(q, s, smask, k, chunk_size):
     return best_i, best_d
 
 
-def _approx_knn(q, s, smask, k, recall_target, query_block):
-    """Blockwise full-row distances (bf16 MXU) + approx_min_k selection."""
+def _approx_knn(q, s, smask, k, recall_target, query_block, with_dist):
+    """Blockwise full-row distances (bf16 MXU) + approx_min_k selection.
+
+    with_dist=False skips the exact fp32 distance recompute (one (Q, k, 3)
+    gather — gathers are the dominant cost at these shapes on TPU) and
+    returns the bf16-precision selection values instead: valid for
+    finiteness/ordering, NOT for thresholding against small radii.
+    """
     n_q = q.shape[0]
     pad = (-n_q) % query_block
     q_p = _pad_to(q, n_q + pad)
@@ -84,8 +90,7 @@ def _approx_knn(q, s, smask, k, recall_target, query_block):
     penalty = jnp.where(smask, 0.0, _INF)
 
     def step(_, qb):
-        # bf16 matmul (DEFAULT precision on TPU) — selection only; exact
-        # distances are recomputed for the selected k below.
+        # bf16 matmul (DEFAULT precision on TPU) — selection only.
         d2 = (
             jnp.sum(qb * qb, axis=1, keepdims=True)
             - 2.0 * jnp.dot(qb, s.T)
@@ -96,6 +101,8 @@ def _approx_knn(q, s, smask, k, recall_target, query_block):
 
     _, (idx, vals) = jax.lax.scan(step, None, q_blocks)
     idx = idx.reshape(-1, k)[:n_q]
+    if not with_dist:
+        return idx, vals.reshape(-1, k)[:n_q]
     # exact fp32 distances for the selected neighbors
     sel = s[idx]  # (Q, k, 3)
     d2 = jnp.sum(jnp.square(q[:, None, :] - sel), axis=-1)
@@ -105,7 +112,9 @@ def _approx_knn(q, s, smask, k, recall_target, query_block):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "chunk_size", "method", "query_block", "recall_target"),
+    static_argnames=(
+        "k", "chunk_size", "method", "query_block", "recall_target", "with_dist",
+    ),
 )
 def knn_masked(
     query_pos: jax.Array,
@@ -117,6 +126,7 @@ def knn_masked(
     method: str = "approx",
     recall_target: float = 0.95,
     query_block: int = 4096,
+    with_dist: bool = True,
 ):
     """k-nearest-neighbors from each query to the valid source points.
 
@@ -131,10 +141,14 @@ def knn_masked(
       recall_target: per-neighbor recall for the approx path.
       query_block: queries per block (approx path memory control:
         query_block x N bf16 distances live at once).
+      with_dist: when False on the approx path, skip the exact-distance
+        recompute (saves a (Q, k, 3) gather); dist2 is then only
+        selection-precision — finite where valid, not threshold-grade.
 
     Returns:
       idx: (Q, k) int32 indices into source_pos (0 where invalid).
-      dist2: (Q, k) exact fp32 squared distances (+inf where invalid).
+      dist2: (Q, k) fp32 squared distances (+inf where invalid); exact
+        unless with_dist=False on the approx path.
       valid: (Q, k) bool — slot holds a real valid source and the query
         itself is valid.
     """
@@ -148,7 +162,7 @@ def knn_masked(
         idx, d2 = _exact_knn(q, s, smask, k_eff, min(chunk_size, max(s.shape[0], 8)))
     else:
         idx, d2 = _approx_knn(q, s, smask, k_eff, recall_target,
-                              min(query_block, max(q.shape[0], 8)))
+                              min(query_block, max(q.shape[0], 8)), with_dist)
     if k_eff < k:
         idx = _pad_to(idx, k, axis=1)
         d2 = _pad_to(d2, k, axis=1, value=_INF)

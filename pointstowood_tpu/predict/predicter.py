@@ -77,6 +77,19 @@ def run_inference(
         min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
     )
     outputs = []
+    pending = []  # (device_probs, host_batch) — double buffer so the host
+    # readback of batch i overlaps the device compute of batch i+1
+
+    def drain(entry):
+        probs_dev, batch = entry
+        probs = np.asarray(probs_dev)
+        preds = (probs >= predict_cfg.is_wood).astype(np.float64)
+        xyz = batch.pos.astype(np.float64) + batch.shift[:, None, :].astype(np.float64)
+        out = np.concatenate(
+            [xyz, preds[..., None], probs.astype(np.float64)[..., None]], axis=-1
+        )
+        outputs.append(out[batch.mask])
+
     for cap, batch, _ in batcher:
         pos = jnp.asarray(batch.pos)
         refl = jnp.asarray(batch.reflectance)
@@ -86,14 +99,11 @@ def run_inference(
             pos, refl, mask, sf = (
                 jax.device_put(a, data_sharding) for a in (pos, refl, mask, sf)
             )
-        probs = np.asarray(_forward(net, variables, pos, refl, mask, sf))
-        preds = (probs >= predict_cfg.is_wood).astype(np.float64)
-        xyz = batch.pos.astype(np.float64) + batch.shift[:, None, :].astype(np.float64)
-        m = batch.mask
-        out = np.concatenate(
-            [xyz, preds[..., None], probs.astype(np.float64)[..., None]], axis=-1
-        )
-        outputs.append(out[m])
+        pending.append((_forward(net, variables, pos, refl, mask, sf), batch))
+        if len(pending) > 2:
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
     if not outputs:
         raise ValueError("no tiles to classify (cloud smaller than min_pts?)")
     return np.vstack(outputs)
