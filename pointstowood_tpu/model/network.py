@@ -37,6 +37,7 @@ from pointstowood_tpu.model.layers import (
     RefMLP,
     ReflectanceGate,
 )
+from pointstowood_tpu.model.attention import ATSearchKNN, AttentivePointConv
 from pointstowood_tpu.model.pointconv import PointConv, gather_points
 from pointstowood_tpu.ops.interpolate import knn_interpolate_batched
 from pointstowood_tpu.ops.knn import knn_masked
@@ -58,6 +59,11 @@ class SAStage(nn.Module):
     knn_chunk: int = 1024
     knn_method: str = "approx"
     dtype: jnp.dtype = jnp.float32
+    # archive variants: learned feature-space neighbor search for non-radius
+    # stages (archive/model_attknn.py:107-158) and QKV attention messages
+    # (src/pointnetatt.py)
+    attention_knn: bool = False
+    attention_conv: bool = False
 
     @nn.compact
     def __call__(self, x, pos3, refl, mask, sf, training: bool,
@@ -80,32 +86,50 @@ class SAStage(nn.Module):
                 lambda i, m: voxel_representatives(i, self.capacity, mask=m)
             )(ids, mask)
 
-        centers = gather_points(pos3, center_idx)
-        # k nearest (exact distances are not needed here: the SA1 radius cap
-        # is applied inside PointConv from its fp32 relative positions, and
-        # SA2/SA3 only need validity — skipping the distance recompute saves
-        # one (B, S, k, 3) gather per stage, the dominant TPU cost).
-        nbr_idx, _, nbr_valid = jax.vmap(
-            lambda q, s, qm, sm: knn_masked(
-                q, s, k=self.k,
-                query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
-                method=self.knn_method, with_dist=False)
-        )(centers, pos3, center_valid, mask)
-
         # The conv sees positions divided by the per-sample scale factor
         # (model.py:122); reflectance rides along unscaled as column 3.
         pos4 = jnp.concatenate(
             [pos3 / sf[:, None, None], refl[..., None]], axis=-1
         )
+        if self.attention_knn and not self.use_radius:
+            # learned feature-space neighbor search (SA2/SA3 in the archived
+            # attention model, model_attknn.py:147)
+            pos4_unscaled = jnp.concatenate([pos3, refl[..., None]], axis=-1)
+            nbr_idx, nbr_valid = ATSearchKNN(
+                k=self.k, attention_dim=self.nn_channels[0] // 2,
+                knn_chunk=self.knn_chunk, knn_method=self.knn_method,
+                name="atsearch",
+            )(x, pos4_unscaled, mask, center_idx, center_valid)
+        else:
+            centers = gather_points(pos3, center_idx)
+            # k nearest (exact distances are not needed here: the SA1 radius
+            # cap is applied inside the conv from its fp32 relative
+            # positions, and SA2/SA3 only need validity — skipping the
+            # distance recompute saves one (B, S, k, 3) gather per stage,
+            # the dominant TPU cost).
+            nbr_idx, _, nbr_valid = jax.vmap(
+                lambda q, s, qm, sm: knn_masked(
+                    q, s, k=self.k,
+                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
+                    method=self.knn_method, with_dist=False)
+            )(centers, pos3, center_valid, mask)
         # radius search (SA1, model.py:117-118) operates in unscaled
         # coordinates; in the scaled frame the cap becomes radius / sf.
         radius = (
             (self.resolution * 2) / sf[:, None, None] if self.use_radius else None
         )
-        x = PointConv(self.nn_channels, name="conv", dtype=self.dtype)(
-            x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
-            radius=radius, use_running_average=use_running_average,
-        )
+        if self.attention_conv and x is not None:
+            x = AttentivePointConv(
+                in_channels=x.shape[-1],
+                local_channels=(x.shape[-1],) + tuple(self.nn_channels[1:]),
+                dtype=self.dtype, name="conv",
+            )(x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
+              radius=radius, use_running_average=use_running_average)
+        else:
+            x = PointConv(self.nn_channels, name="conv", dtype=self.dtype)(
+                x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
+                radius=radius, use_running_average=use_running_average,
+            )
         x = InvertedResidualBlock(self.out_features, name="residual_block",
                                   dtype=self.dtype)(
             x, mask=center_valid, use_running_average=use_running_average
@@ -135,6 +159,9 @@ class Net(nn.Module):
     # 'approx': TPU PartialReduce selection, bf16 distance matmuls (fast
     # path); 'exact': fp32 streaming top-k (parity path). See ops/knn.py.
     knn_method: str = "approx"
+    # archive model variants (see SAStage)
+    attention_knn: bool = False
+    attention_conv: bool = False
     # Compute dtype for MLP/conv activations (parameters and BN stats stay
     # fp32). bfloat16 is the TPU analogue of the reference's AMP autocast
     # (trainer.py:174, predicter.py:197); geometry (kNN, interpolation
@@ -172,6 +199,8 @@ class Net(nn.Module):
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,
                 knn_method=self.knn_method, dtype=self.dtype,
+                attention_knn=self.attention_knn,
+                attention_conv=self.attention_conv,
                 name=f"sa{i + 1}_module",
             )(x, p, r, m, sf, training, use_running_average=ura)
             xs.append(x)

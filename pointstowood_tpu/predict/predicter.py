@@ -118,14 +118,41 @@ def semantic_segmentation(
     tiling_cfg: TilingConfig,
     mesh=None,
     verbose: bool = False,
+    profile_dir: str | None = None,
 ):
     """Full inference: classify tiles, fuse onto the original cloud.
-    Returns the DataFrame with label/pwood columns added."""
+    Returns the DataFrame with label/pwood columns added.
+
+    With ``profile_dir`` set, the model phase runs under a jax.profiler
+    trace; ``verbose`` prints per-phase wall-clock (the reference's only
+    instrumentation is a whole-run clock, predict.py:140-141)."""
+    import contextlib
+    import time
+
     net = build_net(model_cfg)
-    classified = run_inference(
-        tiles, variables, net, predict_cfg, tiling_cfg, mesh=mesh, verbose=verbose
+    ctx = (
+        jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
     )
+    t0 = time.perf_counter()
+    with ctx:
+        classified = run_inference(
+            tiles, variables, net, predict_cfg, tiling_cfg, mesh=mesh,
+            verbose=verbose,
+        )
+    t1 = time.perf_counter()
     if verbose:
+        n_pts = int(classified.shape[0])
+        print(
+            f"model phase: {t1 - t0:.2f}s, {len(tiles)} tiles, "
+            f"{n_pts} classified points "
+            f"({n_pts / max(t1 - t0, 1e-9):,.0f} pts/s)"
+        )
         print("Spatially aggregating prediction probabilities and labels...")
     fusion = Fusion(predict_cfg.is_wood, predict_cfg.any_wood)
-    return fusion.collect_predictions(classified, pc)
+    out = fusion.collect_predictions(classified, pc)
+    if verbose:
+        t2 = time.perf_counter()
+        print(f"fusion phase: {t2 - t1:.2f}s for {len(pc)} original points")
+    return out

@@ -59,6 +59,9 @@ def parse_args(argv=None):
                         help='exact fp32 neighbor search (parity mode; the '
                              'default approx mode is ~40x faster at ~0.95 '
                              'neighbor recall)')
+    parser.add_argument('--profile', type=str, default=None,
+                        help='write a jax.profiler trace of the model phase '
+                             'to this directory')
     parser.add_argument('--verbose', action='store_true', help='print stuff')
     return parser.parse_args(argv)
 
@@ -134,7 +137,7 @@ def main(argv=None):
 
         pc = semantic_segmentation(
             pc, tiles, variables, model_cfg, predict_cfg, tiling_cfg,
-            mesh=mesh, verbose=args.verbose,
+            mesh=mesh, verbose=args.verbose, profile_dir=args.profile,
         )
 
         out_headers = list(dict.fromkeys(headers + ['n_z', 'label', 'pwood']))
