@@ -123,7 +123,8 @@ class AttentivePointConv(nn.Module):
         x_j = gathered[..., :-4]
         pos_i = gather_rows(pos4, center_idx)
         rel = pos_j[..., :3] - pos_i[..., None, :3]
-        dist = jnp.linalg.norm(rel, axis=-1)
+        # safe sqrt: see pointconv.py (NaN gradient of norm at 0)
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-24)
         if radius is not None:
             nbr_valid = nbr_valid & (dist <= radius)
         max_dist = jnp.max(jnp.where(nbr_valid, dist, 0.0), axis=-1, keepdims=True)

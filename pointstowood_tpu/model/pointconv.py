@@ -82,7 +82,10 @@ class PointConv(nn.Module):
         # geometry in fp32 (relative positions of nearby points would lose
         # ~all precision in bf16); the MLP compute runs in self.dtype.
         rel = pos_j[..., :3] - pos_i[..., None, :3]       # (B, S, k, 3)
-        dist = jnp.linalg.norm(rel, axis=-1)              # (B, S, k)
+        # sqrt(x + tiny), not norm: every center is its own zero-distance
+        # neighbor, and d|rel|/d rel = rel/|rel| is NaN at 0 — the max over
+        # k multiplies that NaN by a zero gradient, which is still NaN.
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-24)  # (B, S, k)
         if radius is not None:
             nbr_valid = nbr_valid & (dist <= radius)
         max_dist = jnp.max(jnp.where(nbr_valid, dist, 0.0), axis=-1, keepdims=True)

@@ -47,33 +47,51 @@ def voxel_cell_ids(pos: jax.Array, size, mask: jax.Array | None = None) -> jax.A
     return ids
 
 
+def _mix_bits(x: jax.Array) -> jax.Array:
+    """Deterministic 32-bit integer hash (finalizer of murmur3)."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def voxel_representatives(ids: jax.Array, capacity: int, mask: jax.Array | None = None):
     """Pick one representative point per occupied voxel cell.
 
-    The representative is the *lowest-index* point of each cell (the
-    reference's consecutive_cluster picks an arbitrary per-cell point via a
-    racy scatter; first-occurrence is the deterministic choice of the same
-    contract). Output is compacted to ``capacity`` slots ordered by original
-    point index; overflow beyond capacity keeps the lowest-index
-    representatives.
+    The reference's consecutive_cluster picks an arbitrary per-cell point
+    via a racy scatter; here the choice is a deterministic hash-priority
+    (pseudo-random but reproducible). When the number of occupied cells
+    exceeds ``capacity``, the kept subset is likewise hash-ordered —
+    point/cell order in the tile array is spatially sorted, so truncating
+    by index would bias the kept centers toward one side of the tile.
 
     Returns (idx (capacity,) int32, valid (capacity,) bool).
     """
     n = ids.shape[0]
     if mask is not None:
         ids = jnp.where(mask, ids, PAD_CELL)
-    order = jnp.argsort(ids, stable=True)  # equal cells: ascending point index
+    prio = _mix_bits(jnp.arange(n, dtype=jnp.int32))
+    # distinct int32 rank per point in hash order (no 64-bit keys on TPU)
+    by_prio = jnp.argsort(prio)
+    rank = jnp.zeros(n, jnp.int32).at[by_prio].set(jnp.arange(n, dtype=jnp.int32))
+    # lexicographic (cell id, hash rank) via two stable sorts
+    ids_m = ids[by_prio]
+    order = by_prio[jnp.argsort(ids_m, stable=True)]
     sorted_ids = ids[order]
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
     is_rep = is_first & (sorted_ids != PAD_CELL)
-    # Compact representative original indices, ordered ascending.
-    key = jnp.where(is_rep, order, n)
-    key = jnp.sort(key)[:capacity]
-    valid = key < n
-    return jnp.where(valid, key, 0).astype(jnp.int32), valid
+    # Compact representatives, overflow dropping by hash rank.
+    key = jnp.where(is_rep, rank[order], jnp.int32(n))
+    kept = jnp.argsort(key)[:capacity]
+    valid = key[kept] < n
+    idx = order[kept]
+    return jnp.where(valid, idx, 0).astype(jnp.int32), valid
 
 
 def voxel_cell_ids_np(pos, size, origin=None):
