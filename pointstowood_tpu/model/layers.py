@@ -55,11 +55,15 @@ class MaskedBatchNorm(nn.Module):
                 mean = jnp.mean(x32, axis=reduce_axes)
                 var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
             else:
+                # where(), never x * mask: masked lanes can hold inf garbage
+                # (e.g. a fully padded sample downstream of a masked max)
+                # and inf * 0 = NaN would poison the whole batch statistic.
                 m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
-                m = m.astype(jnp.float32)
-                n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x32 * m, axis=reduce_axes) / n
-                var = jnp.sum(jnp.square(x32 - mean) * m, axis=reduce_axes) / n
+                n = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+                mean = jnp.sum(jnp.where(m, x32, 0.0), axis=reduce_axes) / n
+                var = jnp.sum(
+                    jnp.where(m, jnp.square(x32 - mean), 0.0), axis=reduce_axes
+                ) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -172,7 +176,9 @@ class ReflectanceGate(nn.Module):
         if mask is None:
             pooled = jnp.mean(h, axis=-2)
         else:
-            m = mask[..., None].astype(h.dtype)
-            pooled = jnp.sum(h * m, axis=-2) / jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+            m = mask[..., None]
+            pooled = jnp.sum(jnp.where(m, h, 0.0), axis=-2) / jnp.maximum(
+                jnp.sum(m.astype(h.dtype), axis=-2), 1.0
+            )
         _ = nn.Dense(1, name="fc3")(pooled)  # dead: gate is identically 1
         return jnp.ones_like(reflectance)

@@ -58,6 +58,7 @@ class SAStage(nn.Module):
     use_radius: bool  # SA1 uses radius search (r = 2*resolution)
     knn_chunk: int = 1024
     knn_method: str = "approx"
+    knn_recall: float = 0.95
     dtype: jnp.dtype = jnp.float32
     # archive variants: learned feature-space neighbor search for non-radius
     # stages (archive/model_attknn.py:107-158) and QKV attention messages
@@ -111,7 +112,8 @@ class SAStage(nn.Module):
                 lambda q, s, qm, sm: knn_masked(
                     q, s, k=self.k,
                     query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
-                    method=self.knn_method, with_dist=False)
+                    method=self.knn_method, recall_target=self.knn_recall,
+                    with_dist=False)
             )(centers, pos3, center_valid, mask)
         # radius search (SA1, model.py:117-118) operates in unscaled
         # coordinates; in the scaled frame the cap becomes radius / sf.
@@ -159,6 +161,7 @@ class Net(nn.Module):
     # 'approx': TPU PartialReduce selection, bf16 distance matmuls (fast
     # path); 'exact': fp32 streaming top-k (parity path). See ops/knn.py.
     knn_method: str = "approx"
+    knn_recall: float = 0.95
     # archive model variants (see SAStage)
     attention_knn: bool = False
     attention_conv: bool = False
@@ -198,7 +201,8 @@ class Net(nn.Module):
             x, p, r, m = SAStage(
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,
-                knn_method=self.knn_method, dtype=self.dtype,
+                knn_method=self.knn_method, knn_recall=self.knn_recall,
+                dtype=self.dtype,
                 attention_knn=self.attention_knn,
                 attention_conv=self.attention_conv,
                 name=f"sa{i + 1}_module",
@@ -216,6 +220,9 @@ class Net(nn.Module):
         )
         neg = jnp.finfo(g.dtype).min
         g = jnp.max(jnp.where(m[..., None], g, neg), axis=1)  # (B, 16C)
+        # fully padded samples (batch-dim padding tiles) would pool to
+        # finfo.min and overflow downstream bf16 matmuls to inf -> 0 them
+        g = jnp.where(jnp.any(m, axis=1)[:, None], g, 0.0)
 
         # FP4: interpolation from the single global point == broadcast.
         y = jnp.broadcast_to(g[:, None, :], (g.shape[0], caps[2], g.shape[-1]))

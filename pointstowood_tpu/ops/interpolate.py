@@ -41,7 +41,8 @@ def knn_interpolate(
     w = 1.0 / jnp.maximum(d2, 1e-16)
     w = jnp.where(valid, w, 0.0)
     feats = x[idx]  # (T, k, C)
-    num = jnp.sum(feats * w[..., None], axis=1)
+    # where(), not feats * 0: invalid-slot features may hold inf garbage
+    num = jnp.sum(jnp.where(valid[..., None], feats * w[..., None], 0.0), axis=1)
     den = jnp.sum(w, axis=1, keepdims=True)
     return num / jnp.maximum(den, 1e-16)
 
@@ -78,6 +79,10 @@ def knn_interpolate_batched(
     w = 1.0 / jnp.maximum(d2, 1e-16)
     w = jnp.where(valid, w, 0.0)
     feats = gather_rows(x, idx)  # (B, T, k, C)
-    num = jnp.sum(feats * w[..., None].astype(feats.dtype), axis=2)
+    # where(), not feats * 0: invalid-slot features may hold inf garbage
+    num = jnp.sum(
+        jnp.where(valid[..., None], feats * w[..., None].astype(feats.dtype), 0.0),
+        axis=2,
+    )
     den = jnp.sum(w, axis=2, keepdims=True)
     return num / jnp.maximum(den, 1e-16).astype(num.dtype)

@@ -39,6 +39,7 @@ def build_net(model_cfg: ModelConfig, knn_chunk: int = 2048) -> Net:
         fp_k=model_cfg.fp_k,
         knn_chunk=knn_chunk,
         knn_method=model_cfg.knn_mode,
+        knn_recall=model_cfg.knn_recall,
         dtype=jnp.dtype(model_cfg.compute_dtype),
     )
 

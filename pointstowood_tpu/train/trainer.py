@@ -172,6 +172,7 @@ def semantic_training(
         k=model_cfg.k, sa_resolutions=tuple(model_cfg.sa_resolutions),
         stage_fractions=tuple(model_cfg.stage_fractions), fp_k=model_cfg.fp_k,
         knn_method=model_cfg.knn_mode,
+        knn_recall=model_cfg.knn_recall,
         dtype=jnp.dtype(model_cfg.compute_dtype),
     )
     tx = make_optimizer(cfg)
