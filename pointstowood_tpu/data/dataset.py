@@ -83,17 +83,28 @@ def pad_tiles(tiles: Sequence[np.ndarray], capacity: int,
 
 
 class TileBatcher:
-    """Groups tiles into same-capacity padded batches.
+    """Groups tiles into padded batches with static shapes.
 
-    Iteration yields (capacity, TileBatch, tile_indices). The final batch of
-    each bucket is padded with all-invalid rows up to ``batch_size`` so the
-    batch dimension is static too.
+    Iteration yields (capacity, TileBatch, tile_indices). The final batch
+    is padded with all-invalid rows up to ``batch_size`` so the batch
+    dimension is static too.
+
+    Two modes:
+      * ``bucket=True`` (inference): tiles grouped by size bucket — minimal
+        padding, one compiled shape per bucket. Safe at eval because
+        BatchNorm is a fixed affine there.
+      * ``bucket=False`` (training): random mixed-size batches, padded to
+        the largest member's bucket — the reference's shuffled DataLoader
+        semantics (trainer.py:110). Size-segregated batches give each
+        bucket its own activation statistics, which poisons BatchNorm's
+        running averages (eval collapsed from BA 0.86 to 0.56 on the same
+        data before this fix).
     """
 
     def __init__(self, tiles: Sequence[Tile], batch_size: int,
                  min_pts: int, max_pts: int, with_labels: bool = False,
                  shuffle: bool = False, seed: int = 0,
-                 augment=None):
+                 augment=None, bucket: bool = True):
         self.tiles = list(tiles)
         self.batch_size = batch_size
         self.with_labels = with_labels
@@ -101,6 +112,7 @@ class TileBatcher:
         self.shuffle = shuffle
         self.seed = seed
         self.augment = augment
+        self.bucket = bucket
         self._epoch = 0
 
     def _capacity_for(self, n: int) -> int:
@@ -110,10 +122,27 @@ class TileBatcher:
         return self.capacities[-1]
 
     def __len__(self):
+        if not self.bucket:
+            return -(-len(self.tiles) // self.batch_size)
         from collections import Counter
 
         counts = Counter(self._capacity_for(len(t)) for t in self.tiles)
         return sum(-(-c // self.batch_size) for c in counts.values())
+
+    def _emit(self, chunk, rng):
+        arrays = []
+        for ti in chunk:
+            pts = self.tiles[ti].points
+            if self.augment is not None:
+                pts = self.augment(pts, rng)
+            arrays.append(pts)
+        cap = self._capacity_for(max(a.shape[0] for a in arrays))
+        # pad batch dim with empty tiles for a static B
+        n_pad = self.batch_size - len(arrays)
+        width = arrays[0].shape[1]
+        arrays += [np.zeros((0, width), np.float32)] * n_pad
+        batch = pad_tiles(arrays, cap, with_labels=self.with_labels)
+        return cap, batch, list(chunk)
 
     def __iter__(self) -> Iterator[tuple]:
         order = np.arange(len(self.tiles))
@@ -121,22 +150,14 @@ class TileBatcher:
         self._epoch += 1
         if self.shuffle:
             rng.shuffle(order)
+        if not self.bucket:
+            for start in range(0, len(order), self.batch_size):
+                yield self._emit(order[start : start + self.batch_size], rng)
+            return
         buckets: dict = {}
         for ti in order:
             cap = self._capacity_for(len(self.tiles[ti]))
             buckets.setdefault(cap, []).append(ti)
         for cap, idxs in sorted(buckets.items()):
             for start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[start : start + self.batch_size]
-                arrays = []
-                for ti in chunk:
-                    pts = self.tiles[ti].points
-                    if self.augment is not None:
-                        pts = self.augment(pts, rng)
-                    arrays.append(pts)
-                # pad batch dim with empty tiles for a static B
-                n_pad = self.batch_size - len(arrays)
-                width = arrays[0].shape[1]
-                arrays += [np.zeros((0, width), np.float32)] * n_pad
-                batch = pad_tiles(arrays, cap, with_labels=self.with_labels)
-                yield cap, batch, list(chunk)
+                yield self._emit(idxs[start : start + self.batch_size], rng)

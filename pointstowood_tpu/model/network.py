@@ -174,9 +174,12 @@ class Net(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pos3, refl, mask, sf, training: bool = False):
+    def __call__(self, pos3, refl, mask, sf, training: bool = False,
+                 use_running_average: bool | None = None):
         c = self.channels
-        ura = not training
+        # decoupled for diagnostics: sampling mode (training) and BN-stat
+        # mode (use_running_average) default to the standard pairing
+        ura = (not training) if use_running_average is None else use_running_average
         n = pos3.shape[1]
         caps = []
         cap = n

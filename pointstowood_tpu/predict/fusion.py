@@ -24,14 +24,15 @@ import pandas as pd
 
 
 @functools.partial(jax.jit, static_argnames=("any_wood_is_one",))
-def _fuse_chunk(preds, probs, idx, any_wood, any_wood_is_one: bool):
+def _fuse_chunk(pred_prob, idx, any_wood, any_wood_is_one: bool):
     """Median prob + vote for one (n, k) index chunk.
 
-    preds/probs: (M,) classified predictions/probabilities.
+    pred_prob: (M, 2) classified [prediction, probability] columns (fused
+    so the row gather — the dominant cost on TPU — happens once).
     idx: (n, k) neighbor indices into them.
     """
-    p = probs[idx]  # (n, k)
-    c = preds[idx]  # (n, k)
+    g = pred_prob[idx]  # (n, k, 2)
+    c, p = g[..., 0], g[..., 1]
     pwood = jnp.median(p, axis=1)
     if any_wood_is_one:
         # probability-weighted vote between class 0 and 1; ties -> 0
@@ -63,12 +64,11 @@ def fuse_labels(
     k = min(k, m)
     if indices is None:
         indices = knn_indices(classified[:, :3], query_xyz, k)
-    preds = jnp.asarray(classified[:, -2].astype(np.float32))
-    probs = jnp.asarray(classified[:, -1].astype(np.float32))
+    pred_prob = jnp.asarray(classified[:, -2:].astype(np.float32))
     out = np.zeros((query_xyz.shape[0], 2), np.float64)
     for start in range(0, query_xyz.shape[0], chunk):
         idx = jnp.asarray(indices[start : start + chunk].astype(np.int32))
-        label, pwood = _fuse_chunk(preds, probs, idx, any_wood, any_wood == 1)
+        label, pwood = _fuse_chunk(pred_prob, idx, any_wood, any_wood == 1)
         out[start : start + chunk, 0] = np.asarray(label)
         out[start : start + chunk, 1] = np.asarray(pwood)
     return out

@@ -16,7 +16,10 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_forest(seed, n_trees=4, pts_per_tree=6000):
+def make_forest(seed, n_trees=4, pts_per_tree=25000):
+    # density matters: the backbone's neighborhood scales (4-16 cm) assume
+    # TLS-like point spacing; sparse crowns leave stage-1 radius
+    # neighborhoods empty and cap accuracy
     """Trees with cylindrical trunks + branch lines (wood) and diffuse
     crowns (leaf); reflectance weakly informative."""
     rng = np.random.default_rng(seed)
@@ -73,7 +76,7 @@ def main():
     from sklearn.metrics import balanced_accuracy_score
 
     wdir = args.wdir or tempfile.mkdtemp(prefix="p2w_smoke_")
-    tiling = TilingConfig(grid_size=(4.0,), min_pts=64, max_pts=2048)
+    tiling = TilingConfig(grid_size=(4.0,), min_pts=128, max_pts=8192)
     model_cfg = ModelConfig(channels=args.channels)
     train_cfg = TrainConfig(
         num_epochs=args.epochs, batch_size=8, learning_rate=args.lr,
