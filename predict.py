@@ -84,6 +84,11 @@ def main(argv=None):
         for k, v in vars(args).items():
             print('{:<35}{}'.format(k, v))
 
+    # thread setup (reference predict.py:17-19,79-84 wires --num_procs to
+    # torch/OMP threads; here OMP drives the native fusion kNN)
+    if args.num_procs and args.num_procs > 0:
+        os.environ['OMP_NUM_THREADS'] = str(args.num_procs)
+
     if not args.point_cloud:
         raise Exception('no input specified, please specify --point-cloud')
     for f in args.point_cloud:
