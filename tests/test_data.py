@@ -109,3 +109,26 @@ def test_tile_batcher_covers_all_tiles_and_pads_batch():
         assert batch.pos.shape[1] == cap
         seen.extend(idxs)
     assert sorted(seen) == [0, 1, 2, 3, 4]  # nothing dropped
+
+
+def test_tile_batcher_mixed_mode(rng):
+    tiles = [
+        Tile(points=rng.normal(size=(n, 5)).astype(np.float32), grid_size=2.0)
+        for n in [100, 900, 150, 800, 120, 700, 950]
+    ]
+    batcher = TileBatcher(tiles, batch_size=2, min_pts=64, max_pts=1024,
+                          with_labels=True, shuffle=True, seed=3, bucket=False)
+    seen = []
+    caps = []
+    for cap, batch, idxs in batcher:
+        assert batch.pos.shape == (2, cap, 3)
+        seen.extend(idxs)
+        caps.append(cap)
+    assert sorted(seen) == list(range(7))  # every tile exactly once
+    assert len(batcher) == 4
+    # capacity follows the largest member of each random batch
+    assert all(c in (256, 1024) for c in caps)
+    # different epochs shuffle differently
+    order1 = [i for _, _, idxs in batcher for i in idxs]
+    order2 = [i for _, _, idxs in batcher for i in idxs]
+    assert order1 != order2

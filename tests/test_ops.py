@@ -232,3 +232,27 @@ def test_segment_ops(rng):
     np.testing.assert_allclose(sm[3], data[7:9].sum(0), rtol=1e-5)
     mean = np.asarray(segment_mean(jnp.array(data), ids, 5, mask=mask))
     np.testing.assert_allclose(mean[2], data[5:7].mean(0), rtol=1e-5)
+
+
+def test_knn_interpolate_batched_matches_single(rng):
+    from pointstowood_tpu.ops.interpolate import knn_interpolate_batched
+
+    b, s, t, c = 3, 40, 25, 6
+    x = rng.normal(size=(b, s, c)).astype(np.float32)
+    src = rng.normal(size=(b, s, 3)).astype(np.float32)
+    tgt = rng.normal(size=(b, t, 3)).astype(np.float32)
+    smask = np.ones((b, s), bool)
+    smask[1, 30:] = False
+    tmask = np.ones((b, t), bool)
+    out = np.asarray(knn_interpolate_batched(
+        jnp.array(x), jnp.array(src), jnp.array(tgt), k=2,
+        source_mask=jnp.array(smask), target_mask=jnp.array(tmask),
+        chunk_size=16,
+    ))
+    for i in range(b):
+        single = np.asarray(knn_interpolate(
+            jnp.array(x[i]), jnp.array(src[i]), jnp.array(tgt[i]), k=2,
+            source_mask=jnp.array(smask[i]), target_mask=jnp.array(tmask[i]),
+            chunk_size=16,
+        ))
+        np.testing.assert_allclose(out[i], single, rtol=1e-5, atol=1e-6)
