@@ -277,6 +277,7 @@ def semantic_training(
     history = []
     best = {"ba_train": 0.0, "f1_train": 0.0, "ba_test": 0.0, "f1_test": 0.0,
             "precision_test": 0.0}
+    best_snapshots: dict = {}  # prefix -> (params, batch_stats)
     sample_key = jax.random.PRNGKey(cfg.seed + 2)
 
     def save_best(stat, key, path_prefix):
@@ -284,6 +285,8 @@ def semantic_training(
             best[key] = stat
             p = os.path.join(wdir, "model", path_prefix + os.path.basename(model_name))
             save_checkpoint(p, {"params": params, "batch_stats": batch_stats})
+            # remember for the end-of-run BN recalibration re-save
+            best_snapshots[path_prefix] = (params, batch_stats)
             log_fn(f"Saving {p}")
         return best[key]
 
@@ -399,6 +402,17 @@ def semantic_training(
             save_checkpoint(
                 model_path, {"params": params, "batch_stats": batch_stats}
             )
+            # re-save the rolling best checkpoints with their own
+            # recalibrated statistics
+            for prefix, (bp, bbs) in best_snapshots.items():
+                bbs = recalibrate_batch_stats(
+                    net, bp, bbs, train_tiles, cfg, tiling_cfg, passes=2
+                )
+                p = os.path.join(
+                    wdir, "model", prefix + os.path.basename(model_name)
+                )
+                save_checkpoint(p, {"params": bp, "batch_stats": bbs})
+                log_fn(f"Re-saved {p} with recalibrated BN statistics")
 
         if use_wandb:
             import wandb
