@@ -146,6 +146,64 @@ def load_torch_checkpoint(path: str) -> dict:
     return convert_torch_state_dict(state_dict)
 
 
+def _get(tree: dict, path: str):
+    node = tree
+    for part in path.split("/"):
+        if node is None or part not in node:
+            return None
+        node = node[part]
+    return node
+
+
+def convert_to_torch_state_dict(variables: dict) -> dict:
+    """flax variables -> reference-layout torch state_dict (numpy values).
+
+    Inverse of convert_torch_state_dict: produces the exact key set the
+    reference Net's state_dict has (model.py:204-224), so models trained
+    here can be loaded back into the PyTorch reference. Returns numpy
+    arrays; wrap with torch.save({'model_state_dict':
+    {k: torch.tensor(v) for k, v in sd.items()}}, path) to write a .pth.
+    """
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", {})
+    sd: dict = {}
+    for torch_path, (kind, flax_path) in build_key_map().items():
+        p = _get(params, flax_path)
+        if p is None:
+            continue
+        if kind == "linear":
+            sd[f"{torch_path}.weight"] = np.asarray(p["kernel"]).T
+            if "bias" in p:
+                sd[f"{torch_path}.bias"] = np.asarray(p["bias"])
+        elif kind == "conv1d":
+            sd[f"{torch_path}.weight"] = np.asarray(p["kernel"]).T[..., None]
+            if "bias" in p:
+                sd[f"{torch_path}.bias"] = np.asarray(p["bias"])
+        elif kind == "depthwise":
+            sd[f"{torch_path}.weight"] = np.asarray(p["dw_scale"]).reshape(-1, 1, 1)
+            sd[f"{torch_path}.bias"] = np.asarray(p["dw_bias"])
+        elif kind == "bn":
+            sd[f"{torch_path}.weight"] = np.asarray(p["scale"])
+            sd[f"{torch_path}.bias"] = np.asarray(p["bias"])
+            b = _get(batch_stats, flax_path)
+            if b is not None:
+                sd[f"{torch_path}.running_mean"] = np.asarray(b["mean"])
+                sd[f"{torch_path}.running_var"] = np.asarray(b["var"])
+                sd[f"{torch_path}.num_batches_tracked"] = np.asarray(0)
+    return sd
+
+
+def save_torch_checkpoint(path: str, variables: dict) -> None:
+    """Write a reference-compatible .pth from flax variables."""
+    import torch
+
+    sd = {
+        k: torch.tensor(np.asarray(v))
+        for k, v in convert_to_torch_state_dict(variables).items()
+    }
+    torch.save({"model_state_dict": sd}, path)
+
+
 def merge_into_variables(variables: dict, converted: dict) -> dict:
     """Overlay converted values onto an initialized variable tree (lenient:
     anything absent in ``converted`` keeps its initialized value; shape

@@ -256,3 +256,44 @@ def test_load_torch_pth_roundtrip(tmp_path, rng):
     converted = load_checkpoint(path)
     assert "params" in converted and "batch_stats" in converted
     assert "stem_mlp" in converted["params"]
+
+
+def test_roundtrip_torch_to_flax_to_torch(rng):
+    """torch sd -> flax -> torch sd is the identity (values and key set)."""
+    from pointstowood_tpu.utils.checkpoint_convert import convert_to_torch_state_dict
+
+    tm = _TorchRefNetParams(C=32)
+    _randomize_bn_stats(tm, rng)
+    sd_in = {k: v.numpy() for k, v in tm.state_dict().items()}
+    converted = convert_torch_state_dict(sd_in)
+    sd_out = convert_to_torch_state_dict(converted)
+    missing = {k for k in sd_in if "num_batches_tracked" not in k} - set(sd_out)
+    assert not missing, sorted(missing)[:8]
+    for k, v in sd_out.items():
+        if "num_batches_tracked" in k:
+            continue
+        np.testing.assert_array_equal(v, sd_in[k], err_msg=k)
+
+
+def test_save_torch_checkpoint_loads_in_torch(tmp_path, rng):
+    from pointstowood_tpu.utils.checkpoint_convert import save_torch_checkpoint
+    import jax
+    import functools
+    from pointstowood_tpu.model import Net
+
+    net = Net(knn_chunk=64)
+    pos = jnp.zeros((1, 128, 3))
+    variables = jax.jit(functools.partial(net.init, training=False))(
+        {"params": jax.random.key(0)}, pos, jnp.zeros((1, 128)),
+        jnp.ones((1, 128), bool), jnp.ones((1,)),
+    )
+    p = str(tmp_path / "exported.pth")
+    save_torch_checkpoint(p, variables)
+    ckpt = torch.load(p, weights_only=True)
+    sd = ckpt["model_state_dict"]
+    tm = _TorchRefNetParams(C=32)
+    tm.load_state_dict(sd, strict=False)  # shapes/keys accepted by the replica
+    # and it converts back into the model losslessly
+    back = convert_torch_state_dict(sd)
+    out_kernel = np.asarray(variables["params"]["conv1"]["kernel"])
+    np.testing.assert_allclose(back["params"]["conv1"]["kernel"], out_kernel, rtol=1e-6)
