@@ -90,3 +90,33 @@ def test_sharded_train_step_replicates_params():
     # parameters actually moved
     before = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(leaf), np.asarray(before))
+
+
+def test_run_inference_with_mesh_matches_single_device(rng):
+    """The predict engine with an 8-device mesh produces the same classified
+    rows as single-device execution."""
+    from pointstowood_tpu.config import ModelConfig, PredictConfig, TilingConfig
+    from pointstowood_tpu.data.tiling import Tile
+    from pointstowood_tpu.predict.predicter import build_net, run_inference
+
+    tiles = [
+        Tile(points=rng.normal(size=(n, 4)).astype(np.float32), grid_size=2.0)
+        for n in [100, 150, 200, 120, 180, 90, 240, 110, 130]
+    ]
+    model_cfg = ModelConfig(channels=8, compute_dtype="float32")
+    tiling_cfg = TilingConfig(grid_size=(2.0,), min_pts=64, max_pts=256)
+    predict_cfg = PredictConfig(batch_size=8)
+    net = build_net(model_cfg, knn_chunk=64)
+
+    b0 = tiles[0].points
+    variables = jax.jit(functools.partial(net.init, training=False))(
+        {"params": jax.random.key(0)},
+        jnp.asarray(b0[None, :, :3]), jnp.asarray(b0[None, :, 3]),
+        jnp.ones((1, b0.shape[0]), bool), jnp.ones((1,)),
+    )
+    single = run_inference(tiles, variables, net, predict_cfg, tiling_cfg)
+    mesh = data_mesh(8)
+    sharded = run_inference(tiles, variables, net, predict_cfg, tiling_cfg,
+                            mesh=mesh)
+    assert single.shape == sharded.shape
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
