@@ -86,3 +86,22 @@ def test_compare_directory(tmp_path, rng):
     assert set(df["model"]) == {"ours", "fsct"}
     assert (df["balanced_accuracy"] == 1.0).all()
     assert (df["country"] == "Poland").all()
+
+
+def test_threshold_sweep_monotone_wood_fraction(rng):
+    from pointstowood_tpu.tools.threshold_sweep import sweep
+
+    m = 400
+    classified = np.concatenate(
+        [rng.uniform(0, 5, size=(m, 3)),
+         np.zeros((m, 1)),
+         rng.uniform(0, 1, size=(m, 1))], axis=1,
+    )
+    pc = pd.DataFrame(rng.uniform(0, 5, (200, 3)), columns=["x", "y", "z"])
+    fracs = []
+    for t, labels in sweep(classified, pc, [0.2, 0.5, 0.8]):
+        assert labels.shape == (200, 2)
+        fracs.append(labels[:, 0].mean())
+    # raising the threshold can only shrink the wood fraction
+    assert fracs[0] >= fracs[1] >= fracs[2]
+    assert fracs[0] > 0.5 and fracs[2] < 0.5
