@@ -25,6 +25,7 @@ Behavioral notes vs the reference:
 from __future__ import annotations
 
 import dataclasses
+import glob
 import os
 from typing import List, Sequence
 
@@ -119,15 +120,18 @@ def preprocess_cloud(
 
     if vxdir is not None:
         os.makedirs(vxdir, exist_ok=True)
+        # Continue numbering after any tiles already in the directory so
+        # multi-cloud datasets accumulate instead of overwriting each other
+        # (the reference does the same via file_counter = len(glob(...)),
+        # preprocessing.py:110).
+        start = len(glob.glob(os.path.join(vxdir, "voxel_*.npy")))
         for i, t in enumerate(tiles):
-            np.save(os.path.join(vxdir, f"voxel_{i}.npy"), t.points)
+            np.save(os.path.join(vxdir, f"voxel_{start + i}.npy"), t.points)
     return tiles
 
 
 def load_tiles(vxdir: str) -> List[Tile]:
     """Read tiles cached by ``preprocess_cloud(vxdir=...)``."""
-    import glob
-
     tiles = []
     for f in sorted(
         glob.glob(os.path.join(vxdir, "voxel_*.npy")),

@@ -60,6 +60,9 @@ class SAStage(nn.Module):
     knn_method: str = "approx"
     knn_recall: float = 0.95
     dtype: jnp.dtype = jnp.float32
+    # eval-time voxel representative choice: "hash" (spatially unbiased
+    # overflow) or "last" (reference consecutive_cluster CPU parity)
+    voxel_priority: str = "hash"
     # archive variants: learned feature-space neighbor search for non-radius
     # stages (archive/model_attknn.py:107-158) and QKV attention messages
     # (src/pointnetatt.py)
@@ -84,7 +87,9 @@ class SAStage(nn.Module):
                 lambda p, m: voxel_cell_ids(p, self.resolution, mask=m)
             )(pos3, mask)
             center_idx, center_valid = jax.vmap(
-                lambda i, m: voxel_representatives(i, self.capacity, mask=m)
+                lambda i, m: voxel_representatives(
+                    i, self.capacity, mask=m, priority=self.voxel_priority
+                )
             )(ids, mask)
 
         # The conv sees positions divided by the per-sample scale factor
@@ -162,6 +167,9 @@ class Net(nn.Module):
     # path); 'exact': fp32 streaming top-k (parity path). See ops/knn.py.
     knn_method: str = "approx"
     knn_recall: float = 0.95
+    # eval voxel representative choice; "last" = reference parity (see
+    # ops/voxel.voxel_representatives)
+    voxel_priority: str = "hash"
     # archive model variants (see SAStage)
     attention_knn: bool = False
     attention_conv: bool = False
@@ -205,7 +213,7 @@ class Net(nn.Module):
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,
                 knn_method=self.knn_method, knn_recall=self.knn_recall,
-                dtype=self.dtype,
+                dtype=self.dtype, voxel_priority=self.voxel_priority,
                 attention_knn=self.attention_knn,
                 attention_conv=self.attention_conv,
                 name=f"sa{i + 1}_module",

@@ -25,6 +25,25 @@ _AXIS_SIZE = 1 << _AXIS_BITS
 PAD_CELL = (1 << 31) - 1
 
 
+def check_voxel_pack_range(extent_m: float, resolution_m: float) -> None:
+    """Guard for the packed int32 cell-id range (host-side, call before
+    tracing): a tile spanning more than 2^10 cells per axis at the finest
+    sampling resolution would silently alias inside voxel_cell_ids. Tile
+    extent is bounded by the tiling grid size, so engines validate
+    max(grid_size) against min(sa_resolutions) up front.
+    """
+    import math
+
+    cells = math.ceil(float(extent_m) / float(resolution_m))
+    if cells > _AXIS_SIZE:
+        raise ValueError(
+            f"voxel sampling grid overflow: a {extent_m} m tile at "
+            f"{resolution_m} m resolution spans {cells} cells per axis, but "
+            f"packed cell ids support at most {_AXIS_SIZE}. Use a smaller "
+            f"--grid_size or a coarser SA resolution."
+        )
+
+
 def voxel_cell_ids(pos: jax.Array, size, mask: jax.Array | None = None) -> jax.Array:
     """Packed int32 voxel cell id per point.
 
@@ -41,7 +60,11 @@ def voxel_cell_ids(pos: jax.Array, size, mask: jax.Array | None = None) -> jax.A
         origin = jnp.min(jnp.where(mask[:, None], pos, jnp.inf), axis=0)
     cells = jnp.floor((pos - origin) / jnp.float32(size)).astype(jnp.int32)
     cells = jnp.clip(cells, 0, _AXIS_SIZE - 1)
-    ids = (cells[:, 0] << (2 * _AXIS_BITS)) | (cells[:, 1] << _AXIS_BITS) | cells[:, 2]
+    # z-major packing: ascending id order == the (z, y, x)-lexicographic
+    # order of torch_cluster grid_cluster's x-fastest ids, so "last"-mode
+    # representatives (sorted by cell id) line up with the reference's
+    # consecutive_cluster center order (grouping is packing-independent).
+    ids = (cells[:, 2] << (2 * _AXIS_BITS)) | (cells[:, 1] << _AXIS_BITS) | cells[:, 0]
     if mask is not None:
         ids = jnp.where(mask, ids, PAD_CELL)
     return ids
@@ -58,26 +81,53 @@ def _mix_bits(x: jax.Array) -> jax.Array:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def voxel_representatives(ids: jax.Array, capacity: int, mask: jax.Array | None = None):
+@functools.partial(jax.jit, static_argnames=("capacity", "priority"))
+def voxel_representatives(ids: jax.Array, capacity: int,
+                          mask: jax.Array | None = None,
+                          priority: str = "hash"):
     """Pick one representative point per occupied voxel cell.
 
-    The reference's consecutive_cluster picks an arbitrary per-cell point
-    via a racy scatter; here the choice is a deterministic hash-priority
-    (pseudo-random but reproducible). When the number of occupied cells
-    exceeds ``capacity``, the kept subset is likewise hash-ordered —
-    point/cell order in the tile array is spatially sorted, so truncating
-    by index would bias the kept centers toward one side of the tile.
+    priority="hash" (default): the reference's consecutive_cluster picks an
+    arbitrary per-cell point via a racy scatter; here the choice is a
+    deterministic hash-priority (pseudo-random but reproducible). When the
+    number of occupied cells exceeds ``capacity``, the kept subset is
+    likewise hash-ordered — point/cell order in the tile array is spatially
+    sorted, so truncating by index would bias the kept centers toward one
+    side of the tile.
+
+    priority="last": per-cell representative is the LAST occurrence in
+    array order, and kept centers are emitted in ascending cell-id order —
+    the deterministic CPU semantics of the reference's consecutive_cluster
+    (torch_geometric consecutive.py: serial scatter_ -> last write wins;
+    output indexed by sorted unique cell id). Both properties matter for
+    parity: the NEXT stage's last-occurrence choice depends on this
+    stage's output order. Used by the full-network parity oracle.
 
     Returns (idx (capacity,) int32, valid (capacity,) bool).
     """
     n = ids.shape[0]
     if mask is not None:
         ids = jnp.where(mask, ids, PAD_CELL)
+    if priority == "last":
+        order = jnp.argsort(ids, stable=True)  # within a cell: index order
+        sorted_ids = ids[order]
+        is_last = jnp.concatenate(
+            [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)]
+        )
+        is_rep = is_last & (sorted_ids != PAD_CELL)
+        # compact in sorted (cell id) order; overflow drops largest ids
+        key = jnp.where(is_rep, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+        kept = jnp.argsort(key)[:capacity]
+        valid = key[kept] < n
+        idx = order[kept]
+        return jnp.where(valid, idx, 0).astype(jnp.int32), valid
+
     prio = _mix_bits(jnp.arange(n, dtype=jnp.int32))
     # distinct int32 rank per point in hash order (no 64-bit keys on TPU)
     by_prio = jnp.argsort(prio)
-    rank = jnp.zeros(n, jnp.int32).at[by_prio].set(jnp.arange(n, dtype=jnp.int32))
+    rank = jnp.zeros(n, jnp.int32).at[by_prio].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
     # lexicographic (cell id, hash rank) via two stable sorts
     ids_m = ids[by_prio]
     order = by_prio[jnp.argsort(ids_m, stable=True)]

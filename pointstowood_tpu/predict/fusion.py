@@ -24,15 +24,17 @@ import pandas as pd
 
 
 @functools.partial(jax.jit, static_argnames=("any_wood_is_one",))
-def _fuse_chunk(pred_prob, idx, any_wood, any_wood_is_one: bool):
+def _fuse_chunk(prob, idx, is_wood, any_wood, any_wood_is_one: bool):
     """Median prob + vote for one (n, k) index chunk.
 
-    pred_prob: (M, 2) classified [prediction, probability] columns (fused
-    so the row gather — the dominant cost on TPU — happens once).
-    idx: (n, k) neighbor indices into them.
+    prob: (M,) classified wood probabilities; per-point predictions are
+    recomputed here as prob >= is_wood (identical to the reference, which
+    thresholds once at predicter.py:202 and votes on the result — deriving
+    them in-kernel keeps the dominant row gather one column wide).
+    idx: (n, k) neighbor indices into prob.
     """
-    g = pred_prob[idx]  # (n, k, 2)
-    c, p = g[..., 0], g[..., 1]
+    p = prob[idx]  # (n, k)
+    c = (p >= is_wood).astype(p.dtype)
     pwood = jnp.median(p, axis=1)
     if any_wood_is_one:
         # probability-weighted vote between class 0 and 1; ties -> 0
@@ -56,19 +58,23 @@ def fuse_labels(
 ) -> np.ndarray:
     """Return (N, 2) [label, pwood] for every query point.
 
-    classified: (M, >=5) columns [..., pred, prob] (pred at -2, prob at -1,
-    xyz at :3) as in the reference's vstacked tile outputs.
+    classified: (M, >=5) columns [..., pred, prob] (prob at -1, xyz at :3)
+    as in the reference's vstacked tile outputs. Predictions are derived
+    from prob >= is_wood inside the fusion kernel, so re-fusing at a new
+    threshold needs no column rewriting (see tools/threshold_sweep.py).
     """
     k = 64 if any_wood == 1 else 32
     m = classified.shape[0]
     k = min(k, m)
     if indices is None:
         indices = knn_indices(classified[:, :3], query_xyz, k)
-    pred_prob = jnp.asarray(classified[:, -2:].astype(np.float32))
+    prob = jnp.asarray(classified[:, -1].astype(np.float32))
     out = np.zeros((query_xyz.shape[0], 2), np.float64)
     for start in range(0, query_xyz.shape[0], chunk):
         idx = jnp.asarray(indices[start : start + chunk].astype(np.int32))
-        label, pwood = _fuse_chunk(pred_prob, idx, any_wood, any_wood == 1)
+        label, pwood = _fuse_chunk(
+            prob, idx, jnp.float32(is_wood), any_wood, any_wood == 1
+        )
         out[start : start + chunk, 0] = np.asarray(label)
         out[start : start + chunk, 1] = np.asarray(pwood)
     return out

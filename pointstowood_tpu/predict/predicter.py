@@ -62,6 +62,11 @@ def run_inference(
 ) -> np.ndarray:
     """Classify all tiles; returns (M, 5) [x, y, z, pred, prob] rows for
     every valid tile point (reference predicter.py:192-217)."""
+    from pointstowood_tpu.ops.voxel import check_voxel_pack_range
+
+    # tile extent is bounded by the coarsest tiling grid; the finest SA
+    # sampling resolution sets the packed-cell-id density
+    check_voxel_pack_range(max(tiling_cfg.grid_size), min(net.sa_resolutions))
     batch_size = predict_cfg.batch_size
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -21,8 +21,9 @@ import numpy as np
 def sweep(classified: np.ndarray, pc, thresholds, any_wood: float = 1.0):
     """Yield (threshold, labels (N,2)) re-fusing cached per-point probs.
 
-    ``classified`` columns are [x, y, z, pred, prob]; pred is recomputed
-    from prob per threshold.
+    ``classified`` columns are [x, y, z, pred, prob]; fuse_labels derives
+    predictions from prob >= is_wood itself, so each sweep step only
+    re-runs the median/vote math over the shared neighbor indices.
     """
     from pointstowood_tpu.predict.fusion import fuse_labels, knn_indices
 
@@ -31,9 +32,7 @@ def sweep(classified: np.ndarray, pc, thresholds, any_wood: float = 1.0):
     k = min(k, classified.shape[0])
     indices = knn_indices(classified[:, :3], query, k)  # shared across sweeps
     for t in thresholds:
-        c = classified.copy()
-        c[:, -2] = (c[:, -1] >= t).astype(np.float64)
-        yield t, fuse_labels(c, query, is_wood=t, any_wood=any_wood,
+        yield t, fuse_labels(classified, query, is_wood=t, any_wood=any_wood,
                              indices=indices)
 
 

@@ -100,8 +100,15 @@ def make_train_step(net: Net, tx, loss_cfg: TrainConfig):
             loss_fn, has_aux=True
         )(params)
 
-        # optax.chain state is a tuple: (clip_state, inject_hyperparams_state)
-        opt_state[1].hyperparams["learning_rate"] = lr
+        # Inject the per-epoch LR functionally: rebuild the chain state with
+        # the InjectHyperparamsState's hyperparams dict replaced (never
+        # mutate an input pytree inside jit — and don't assume the inject
+        # state's position in the chain).
+        opt_state = tuple(
+            s._replace(hyperparams={**s.hyperparams, "learning_rate": lr})
+            if hasattr(s, "hyperparams") else s
+            for s in opt_state
+        )
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
 
@@ -153,11 +160,13 @@ def make_stats_step(net: Net):
 
 
 def recalibrate_batch_stats(net, params, batch_stats, tiles, cfg, tiling_cfg,
-                            passes: int = 3):
+                            passes: int = 3, stats_step=None,
+                            data_sharding=None):
     """EMA the BN running stats under eval-path forwards (see
     make_stats_step). A few shuffled passes give the momentum-0.1 EMA a
     >=30-batch horizon on typical tile counts."""
-    stats_step = make_stats_step(net)
+    if stats_step is None:
+        stats_step = make_stats_step(net)
     for p in range(passes):
         batcher = TileBatcher(
             tiles, batch_size=cfg.batch_size,
@@ -166,7 +175,7 @@ def recalibrate_batch_stats(net, params, batch_stats, tiles, cfg, tiling_cfg,
             bucket=False,
         )
         for cap, batch, _ in batcher:
-            pos, refl, mask, sf, _ = _batch_arrays(batch)
+            pos, refl, mask, sf, _ = _batch_arrays(batch, data_sharding)
             batch_stats = stats_step(params, batch_stats, pos, refl, mask, sf)
     return batch_stats
 
@@ -184,12 +193,13 @@ def make_eval_step(net: Net):
     return eval_step
 
 
-def _batch_arrays(batch):
-    return (
-        jnp.asarray(batch.pos), jnp.asarray(batch.reflectance),
-        jnp.asarray(batch.mask), jnp.asarray(batch.sf),
-        jnp.asarray(batch.labels),
-    )
+def _batch_arrays(batch, sharding=None):
+    """Batch arrays as device arrays; with ``sharding`` the leading (batch)
+    dim is laid out across the data mesh before compute starts."""
+    arrays = (batch.pos, batch.reflectance, batch.mask, batch.sf, batch.labels)
+    if sharding is None:
+        return tuple(jnp.asarray(a) for a in arrays)
+    return tuple(jax.device_put(np.asarray(a), sharding) for a in arrays)
 
 
 def semantic_training(
@@ -204,8 +214,17 @@ def semantic_training(
     use_wandb: bool = False,
     verbose: bool = False,
     log_fn: Callable[[str], None] = print,
+    mesh=None,
 ):
     """Run the full training loop; returns the final TrainState and history.
+
+    With ``mesh`` (a 1-D ``('data',)`` jax.sharding.Mesh), every batch is
+    sharded across the mesh's devices on its leading dim and parameters /
+    optimizer state are replicated — the SPMD partitioner inserts the
+    gradient psum. Batch sizes are rounded to a device multiple (padding
+    tiles are all-masked, so metrics and BN statistics are unaffected).
+    The reference is strictly single-device (trainer.py:98); this is the
+    designed-from-scratch scale-out mandated by SURVEY.md §2d.
 
     History rows match the reference CSV layout (trainer.py:256-267):
     [epoch, lr, train_loss, train_ba, train_f1, train_precision,
@@ -220,6 +239,26 @@ def semantic_training(
         dtype=jnp.dtype(model_cfg.compute_dtype),
     )
     tx = make_optimizer(cfg)
+    from pointstowood_tpu.ops.voxel import check_voxel_pack_range
+
+    check_voxel_pack_range(max(tiling_cfg.grid_size), min(net.sa_resolutions))
+
+    data_sharding = repl_sharding = None
+    eval_batch_size = max(cfg.batch_size // 2, 1)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        if cfg.batch_size % n_dev:
+            bs = max(n_dev, (cfg.batch_size // n_dev) * n_dev)
+            log_fn(f"Rounding batch_size {cfg.batch_size} -> {bs} "
+                   f"({n_dev} devices)")
+            cfg = dataclasses.replace(cfg, batch_size=bs)
+        eval_batch_size = max(cfg.batch_size // 2, n_dev)
+        if eval_batch_size % n_dev:
+            eval_batch_size = (eval_batch_size // n_dev) * n_dev
+        data_sharding = NamedSharding(mesh, P("data"))
+        repl_sharding = NamedSharding(mesh, P())
 
     model_path = os.path.join(wdir, "model", model_name)
     os.makedirs(os.path.join(wdir, "model"), exist_ok=True)
@@ -256,6 +295,10 @@ def semantic_training(
     params = variables["params"]
     batch_stats = variables["batch_stats"]
     opt_state = tx.init(params)
+    if repl_sharding is not None:
+        params = jax.device_put(params, repl_sharding)
+        batch_stats = jax.device_put(batch_stats, repl_sharding)
+        opt_state = jax.device_put(opt_state, repl_sharding)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log_fn(f"Model contains {n_params} parameters")
 
@@ -280,12 +323,26 @@ def semantic_training(
     best_snapshots: dict = {}  # prefix -> (params, batch_stats)
     sample_key = jax.random.PRNGKey(cfg.seed + 2)
 
+    # Best-model saves must be usable if the run is killed mid-training:
+    # train-path BN stats collapse eval BA (0.87 -> 0.57 measured), so each
+    # best save recalibrates over a fixed tile subsample first (one pass;
+    # the end-of-run re-save below still does the full recalibration).
+    stats_step = make_stats_step(net)
+    calib_rng = np.random.default_rng(cfg.seed + 55_000)
+    calib_tiles = list(train_tiles)
+    calib_rng.shuffle(calib_tiles)
+    calib_tiles = calib_tiles[: max(16 * cfg.batch_size, 32)]
+
     def save_best(stat, key, path_prefix):
         if stat > best[key]:
             best[key] = stat
             p = os.path.join(wdir, "model", path_prefix + os.path.basename(model_name))
-            save_checkpoint(p, {"params": params, "batch_stats": batch_stats})
-            # remember for the end-of-run BN recalibration re-save
+            bs_cal = recalibrate_batch_stats(
+                net, params, batch_stats, calib_tiles, cfg, tiling_cfg,
+                passes=1, stats_step=stats_step, data_sharding=data_sharding,
+            )
+            save_checkpoint(p, {"params": params, "batch_stats": bs_cal})
+            # remember for the end-of-run full BN recalibration re-save
             best_snapshots[path_prefix] = (params, batch_stats)
             log_fn(f"Saving {p}")
         return best[key]
@@ -305,7 +362,7 @@ def semantic_training(
         n_batches = 0
         for cap, batch, _ in batcher:
             sample_key, step_key = jax.random.split(sample_key)
-            pos, refl, mask, sf, labels = _batch_arrays(batch)
+            pos, refl, mask, sf, labels = _batch_arrays(batch, data_sharding)
             params, batch_stats, opt_state, loss, counts, finite = train_step(
                 params, batch_stats, opt_state, pos, refl, mask, sf, labels,
                 jnp.float32(lr), step_key,
@@ -336,7 +393,7 @@ def semantic_training(
                      "balanced_accuracy": 0.0, "f1": 0.0}
             tn = 0
             tbatcher = TileBatcher(
-                test_tiles, batch_size=max(cfg.batch_size // 2, 1),
+                test_tiles, batch_size=eval_batch_size,
                 min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
                 with_labels=True, shuffle=True, seed=cfg.seed + 10_000 + epoch,
                 augment=(functools.partial(augment_tile, mode="test")
@@ -344,7 +401,7 @@ def semantic_training(
                 bucket=False,
             )
             for cap, batch, _ in tbatcher:
-                pos, refl, mask, sf, labels = _batch_arrays(batch)
+                pos, refl, mask, sf, labels = _batch_arrays(batch, data_sharding)
                 counts = eval_step(params, batch_stats, pos, refl, mask, sf, labels)
                 m = batch_metrics(counts)
                 for k in tsums:
@@ -396,7 +453,8 @@ def semantic_training(
         if epoch == cfg.num_epochs:
             log_fn("Recalibrating BatchNorm statistics under the eval path")
             batch_stats = recalibrate_batch_stats(
-                net, params, batch_stats, train_tiles, cfg, tiling_cfg
+                net, params, batch_stats, train_tiles, cfg, tiling_cfg,
+                stats_step=stats_step, data_sharding=data_sharding,
             )
             log_fn("Saving final GLOBAL model")
             save_checkpoint(
@@ -406,7 +464,8 @@ def semantic_training(
             # recalibrated statistics
             for prefix, (bp, bbs) in best_snapshots.items():
                 bbs = recalibrate_batch_stats(
-                    net, bp, bbs, train_tiles, cfg, tiling_cfg, passes=2
+                    net, bp, bbs, train_tiles, cfg, tiling_cfg, passes=2,
+                    stats_step=stats_step, data_sharding=data_sharding,
                 )
                 p = os.path.join(
                     wdir, "model", prefix + os.path.basename(model_name)

@@ -24,7 +24,10 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--point-cloud', '-p', default=[], nargs='+', type=str,
                         help='list of point cloud files')
-    parser.add_argument('--odir', type=str, default='.', help='output directory')
+    parser.add_argument('--odir', type=str, default='.',
+                        help='accepted for parity; outputs are written next '
+                             'to each input like the reference (its '
+                             'predict.py:124 overwrites odir too)')
     parser.add_argument('--batch_size', default=8, type=int,
                         help='tiles per device batch')
     parser.add_argument('--num_procs', default=-1, type=int,

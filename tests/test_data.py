@@ -71,6 +71,25 @@ def test_preprocess_labels_column():
     assert set(np.unique(tiles[0].points[:, 4])) <= {0.0, 1.0}
 
 
+def test_preprocess_vxdir_accumulates_multiple_clouds(tmp_path):
+    """Tiles from a second cloud must continue the voxel_N numbering, not
+    overwrite the first cloud's files (reference preprocessing.py:110
+    continues via file_counter; advisor found round 1 restarted at 0)."""
+    from pointstowood_tpu.data.tiling import load_tiles
+
+    vxdir = str(tmp_path / "voxels")
+    cfg = TilingConfig(grid_size=(2.0,), min_pts=16, max_pts=4096)
+    t1 = preprocess_cloud(_cloud_df(1000, spread=1.0, labels=True, seed=1),
+                          cfg, with_labels=True, vxdir=vxdir)
+    t2 = preprocess_cloud(_cloud_df(1000, spread=1.0, labels=True, seed=2),
+                          cfg, with_labels=True, vxdir=vxdir)
+    loaded = load_tiles(vxdir)
+    assert len(loaded) == len(t1) + len(t2)
+    all_pts = np.concatenate([t.points for t in t1 + t2])
+    loaded_pts = np.concatenate([t.points for t in loaded])
+    np.testing.assert_array_equal(loaded_pts, all_pts)
+
+
 def test_bucket_capacities():
     assert bucket_capacities(128, 16384) == [256, 512, 1024, 2048, 4096, 8192, 16384]
     assert bucket_capacities(128, 500) == [256, 500]

@@ -36,11 +36,14 @@ def _fusion_oracle(classified, query_xyz, any_wood):
 @pytest.mark.parametrize("any_wood", [1.0, 0.9])
 def test_fuse_labels_matches_reference_oracle(any_wood, rng):
     m, n = 500, 100
+    # predictions are the threshold of the probabilities, exactly as
+    # run_inference emits them (and as fuse_labels now derives in-kernel)
+    prob = rng.uniform(0, 1, size=(m, 1))
     classified = np.concatenate(
         [
             rng.uniform(0, 5, size=(m, 3)),
-            rng.integers(0, 2, size=(m, 1)).astype(float),
-            rng.uniform(0, 1, size=(m, 1)),
+            (prob >= 0.5).astype(float),
+            prob,
         ],
         axis=1,
     )
@@ -49,6 +52,30 @@ def test_fuse_labels_matches_reference_oracle(any_wood, rng):
     ref = _fusion_oracle(classified, query, any_wood)
     np.testing.assert_allclose(ours[:, 1], ref[:, 1], rtol=1e-6)
     np.testing.assert_array_equal(ours[:, 0], ref[:, 0])
+
+
+def test_fuse_labels_applies_is_wood_threshold(rng):
+    """fuse_labels derives per-point predictions from prob >= is_wood, so
+    sweeping the threshold changes the vote without rewriting columns
+    (advisor finding: the parameter used to be dead)."""
+    m, n = 400, 120
+    prob = rng.uniform(0, 1, size=(m, 1))
+    classified = np.concatenate(
+        [rng.uniform(0, 5, size=(m, 3)), (prob >= 0.5).astype(float), prob],
+        axis=1,
+    )
+    query = rng.uniform(0, 5, size=(n, 3))
+    low = fuse_labels(classified, query, is_wood=0.05, any_wood=1.0)
+    high = fuse_labels(classified, query, is_wood=0.95, any_wood=1.0)
+    assert low[:, 0].sum() > high[:, 0].sum()
+    # pwood is threshold-independent (median of probabilities)
+    np.testing.assert_allclose(low[:, 1], high[:, 1], rtol=1e-6)
+    # and each threshold matches an oracle fed consistently-thresholded preds
+    for t, ours in ((0.05, low), (0.95, high)):
+        c = classified.copy()
+        c[:, -2] = (c[:, -1] >= t).astype(float)
+        ref = _fusion_oracle(c, query, 1.0)
+        np.testing.assert_array_equal(ours[:, 0], ref[:, 0])
 
 
 def _synthetic_tree(n_wood=1500, n_leaf=2500, seed=7):

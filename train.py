@@ -59,6 +59,7 @@ def main(argv=None):
     from pointstowood_tpu.data.tiling import Tile, load_tiles, preprocess_cloud
     from pointstowood_tpu.io import load_file
     from pointstowood_tpu.io.loader import canonicalize_columns
+    from pointstowood_tpu.parallel.mesh import data_mesh
     from pointstowood_tpu.train.trainer import semantic_training
 
     print(f'Mode: train')
@@ -127,6 +128,12 @@ def main(argv=None):
     if args.test and not test_tiles:
         test_tiles = None
 
+    # Data-parallel mesh over all visible devices (None on a single chip);
+    # the training engine shards each batch over it and replicates state.
+    mesh = data_mesh()
+    if mesh is not None:
+        print(f'Training data-parallel over {mesh.devices.size} devices')
+
     if args.verbose:
         print('\n----- Semantic segmentation started -----')
     semantic_training(
@@ -134,7 +141,7 @@ def main(argv=None):
         ModelConfig(channels=args.channels, compute_dtype=args.dtype), tiling_cfg,
         wdir=args.wdir, model_name=args.model, test_tiles=test_tiles,
         checkpoints=checkpoints.tolist(), use_wandb=args.wandb,
-        verbose=args.verbose,
+        verbose=args.verbose, mesh=mesh,
     )
 
     if args.verbose:
