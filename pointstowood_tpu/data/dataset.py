@@ -25,14 +25,23 @@ import numpy as np
 from pointstowood_tpu.data.tiling import Tile
 
 
-def bucket_capacities(min_pts: int, max_pts: int) -> List[int]:
-    """Power-of-two capacities covering [min_pts, max_pts]."""
+def bucket_capacities(min_pts: int, max_pts: int, step: int = 8) -> List[int]:
+    """Geometric capacities covering [min_pts, max_pts].
+
+    ``step`` trades padding waste for compile count: each distinct
+    (capacity, batch) shape is one XLA compilation (20-60 s through this
+    environment's relay, seconds on standard hosts — either way worth
+    millions of points of forward throughput). step=8 yields 3 shapes at
+    the canonical 128..16384 config (vs 7 at step=2), bounding padding
+    waste at 8x on the small minority of mid-sized tiles while cutting the
+    dominant small-run cost: compiles.
+    """
     caps = []
     c = 256
     while c < max_pts:
         if c >= min_pts:
             caps.append(c)
-        c *= 2
+        c *= step
     caps.append(max_pts)
     return caps
 
@@ -143,6 +152,22 @@ class TileBatcher:
         arrays += [np.zeros((0, width), np.float32)] * n_pad
         batch = pad_tiles(arrays, cap, with_labels=self.with_labels)
         return cap, batch, list(chunk)
+
+    def tile_order(self) -> List[int]:
+        """The tile visit order of (deterministic) iteration, without
+        building any padded arrays. The vstacked run_inference output rows
+        are exactly the tiles' valid points concatenated in this order —
+        which lets the fusion kNN index build start before the model runs
+        (classified *positions* don't depend on the model). Only defined
+        for shuffle=False; independent of batch_size (chunking changes
+        batch boundaries, never order)."""
+        assert not self.shuffle, "tile_order is only stable without shuffle"
+        if not self.bucket:
+            return list(range(len(self.tiles)))
+        buckets: dict = {}
+        for ti in range(len(self.tiles)):
+            buckets.setdefault(self._capacity_for(len(self.tiles[ti])), []).append(ti)
+        return [ti for cap in sorted(buckets) for ti in buckets[cap]]
 
     def __iter__(self) -> Iterator[tuple]:
         order = np.arange(len(self.tiles))

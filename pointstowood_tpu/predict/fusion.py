@@ -105,14 +105,18 @@ class Fusion:
         self.any_wood = any_wood
 
     def collect_predictions(self, classification: np.ndarray,
-                            original: pd.DataFrame) -> pd.DataFrame:
+                            original: pd.DataFrame,
+                            indices: np.ndarray | None = None) -> pd.DataFrame:
+        """``indices``: optional precomputed (N, k) neighbor indices of the
+        original points into the classified rows — the predict engine
+        builds them concurrently with the model phase (classified
+        positions are known before the model runs)."""
         original = original.drop(
             columns=[c for c in original.columns if c in ("label", "pwood", "pleaf")]
         )
         # nbrs.npy cache next to the CWD, as the reference honors
         # (predicter.py:131-134)
-        indices = None
-        if os.path.exists("nbrs.npy"):
+        if indices is None and os.path.exists("nbrs.npy"):
             indices = np.load("nbrs.npy")
         labels = fuse_labels(
             classification,

@@ -129,11 +129,22 @@ def semantic_segmentation(
     """Full inference: classify tiles, fuse onto the original cloud.
     Returns the DataFrame with label/pwood columns added.
 
+    The fusion kNN (original points -> classified tile points, the
+    plot-scale hot spot: reference predicter.py:136-137) runs CONCURRENTLY
+    with the model phase: classified *positions* are just the tile points
+    in deterministic batcher order, known before the model produces any
+    probability — so the neighbor index build (C++/OpenMP or scipy, both
+    GIL-releasing) overlaps device compute instead of serializing after it.
+
     With ``profile_dir`` set, the model phase runs under a jax.profiler
     trace; ``verbose`` prints per-phase wall-clock (the reference's only
     instrumentation is a whole-run clock, predict.py:140-141)."""
+    import concurrent.futures
     import contextlib
+    import os
     import time
+
+    from pointstowood_tpu.predict.fusion import knn_indices
 
     net = build_net(model_cfg)
     ctx = (
@@ -142,6 +153,25 @@ def semantic_segmentation(
         else contextlib.nullcontext()
     )
     t0 = time.perf_counter()
+
+    # Prefetch the fusion neighbor indices in a worker thread (skipped when
+    # the reference-parity nbrs.npy cache exists, predicter.py:131-134).
+    index_future = None
+    executor = None
+    if not os.path.exists("nbrs.npy"):
+        order = TileBatcher(
+            tiles, batch_size=predict_cfg.batch_size,
+            min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+        ).tile_order()
+        source_xyz = np.concatenate(
+            [tiles[ti].points[:, :3] for ti in order]
+        )
+        query_xyz = pc[["x", "y", "z"]].to_numpy()
+        k = 64 if predict_cfg.any_wood == 1 else 32
+        k = min(k, source_xyz.shape[0])
+        executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        index_future = executor.submit(knn_indices, source_xyz, query_xyz, k)
+
     with ctx:
         classified = run_inference(
             tiles, variables, net, predict_cfg, tiling_cfg, mesh=mesh,
@@ -156,9 +186,15 @@ def semantic_segmentation(
             f"({n_pts / max(t1 - t0, 1e-9):,.0f} pts/s)"
         )
         print("Spatially aggregating prediction probabilities and labels...")
+    indices = None
+    if index_future is not None:
+        assert index_future.result().shape[0] == len(pc)
+        indices = index_future.result()
+        executor.shutdown()
     fusion = Fusion(predict_cfg.is_wood, predict_cfg.any_wood)
-    out = fusion.collect_predictions(classified, pc)
+    out = fusion.collect_predictions(classified, pc, indices=indices)
     if verbose:
         t2 = time.perf_counter()
-        print(f"fusion phase: {t2 - t1:.2f}s for {len(pc)} original points")
+        print(f"fusion phase: {t2 - t1:.2f}s for {len(pc)} original points "
+              f"(kNN index overlapped with the model phase)")
     return out

@@ -91,7 +91,13 @@ def test_preprocess_vxdir_accumulates_multiple_clouds(tmp_path):
 
 
 def test_bucket_capacities():
-    assert bucket_capacities(128, 16384) == [256, 512, 1024, 2048, 4096, 8192, 16384]
+    # canonical config: 3 compiled shapes (compile count dominates small
+    # runs; see bucket_capacities docstring)
+    assert bucket_capacities(128, 16384) == [256, 2048, 16384]
+    assert bucket_capacities(128, 16384, step=2) == [
+        256, 512, 1024, 2048, 4096, 8192, 16384
+    ]
+    assert bucket_capacities(8192, 16384) == [16384]
     assert bucket_capacities(128, 500) == [256, 500]
 
 

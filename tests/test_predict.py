@@ -78,6 +78,50 @@ def test_fuse_labels_applies_is_wood_threshold(rng):
         np.testing.assert_array_equal(ours[:, 0], ref[:, 0])
 
 
+def test_tile_order_matches_classified_rows(rng):
+    """The fusion-overlap invariant: concatenating tile xyz in
+    TileBatcher.tile_order() reproduces run_inference's vstacked classified
+    positions (so the kNN index built before the model runs indexes the
+    same rows the probabilities land in)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointstowood_tpu.config import ModelConfig, PredictConfig, TilingConfig
+    from pointstowood_tpu.data.dataset import TileBatcher
+    from pointstowood_tpu.data.tiling import Tile
+    from pointstowood_tpu.predict.predicter import build_net, run_inference
+
+    tiles = [
+        Tile(points=(rng.normal(size=(n, 4)) * [1, 1, 1, 0.5]).astype(np.float32),
+             grid_size=2.0)
+        for n in [100, 300, 150, 90, 260, 120, 180]
+    ]
+    tiling_cfg = TilingConfig(grid_size=(2.0,), min_pts=64, max_pts=512)
+    predict_cfg = PredictConfig(batch_size=2)
+    net = build_net(ModelConfig(channels=8, compute_dtype="float32"), knn_chunk=64)
+    b0 = tiles[0].points
+    variables = jax.jit(functools.partial(net.init, training=False))(
+        {"params": jax.random.key(0)},
+        jnp.asarray(b0[None, :, :3]), jnp.asarray(b0[None, :, 3]),
+        jnp.ones((1, b0.shape[0]), bool), jnp.ones((1,)),
+    )
+    classified = run_inference(tiles, variables, net, predict_cfg, tiling_cfg)
+
+    order = TileBatcher(
+        tiles, batch_size=predict_cfg.batch_size,
+        min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+    ).tile_order()
+    source_xyz = np.concatenate([tiles[ti].points[:, :3] for ti in order])
+    assert source_xyz.shape[0] == classified.shape[0]
+    # classified xyz went through a center/un-center float32 roundtrip
+    np.testing.assert_allclose(classified[:, :3], source_xyz, atol=1e-5)
+    # and order is independent of the batch size (only boundaries move)
+    order8 = TileBatcher(tiles, batch_size=8, min_pts=64, max_pts=512).tile_order()
+    assert order == order8
+
+
 def _synthetic_tree(n_wood=1500, n_leaf=2500, seed=7):
     """A crude tree: vertical cylinder trunk (wood, bright reflectance) +
     a diffuse crown (leaf, dim reflectance)."""

@@ -47,6 +47,53 @@ def test_pathlength_disconnected_fill(rng):
     np.testing.assert_allclose(d[50:], d[:50].max(), rtol=1e-6)
 
 
+def test_pathlength_grown_graph_line():
+    # grown graph on a line reproduces arc length from the root exactly
+    z = np.linspace(0, 10, 100)
+    xyz = np.stack([np.zeros(100), np.zeros(100), z], axis=1)
+    d = pathlengths(xyz, knn=10, method="grown")
+    np.testing.assert_allclose(d, z, rtol=1e-6, atol=1e-9)
+
+
+def test_pathlength_grown_graph_bridges_gaps(rng):
+    """The reference growth loop's reconnect phase (shortest_path.py:
+    114-176) attaches points beyond the initial threshold by stepping it
+    up — a gap the plain kNN graph at the same knn leaves disconnected
+    still gets a real (finite, larger than the near side) distance."""
+    line = np.stack([np.zeros(40), np.zeros(40), np.linspace(0, 2, 40)], axis=1)
+    # second segment after a 1 m gap (>> nbrs_threshold 0.15)
+    far = np.stack([np.zeros(20), np.zeros(20), np.linspace(3, 4, 20)], axis=1)
+    xyz = np.concatenate([line, far])
+    d = pathlengths(xyz, knn=60, method="grown", nbrs_threshold=0.15,
+                    nbrs_threshold_step=0.05)
+    assert np.isfinite(d).all()
+    # far segment distances include the bridged gap
+    assert d[40:].min() > d[:40].max()
+    np.testing.assert_allclose(d[40:], xyz[40:, 2], rtol=0.05)
+
+
+def test_pathlength_grown_matches_knn_on_dense_cloud(rng):
+    """On a dense connected cloud both graph constructions give similar
+    distances (the grown graph is a sparse subgraph; paths can be slightly
+    longer but not shorter)."""
+    xyz = np.cumsum(rng.normal(0, 0.05, size=(200, 3)), axis=0)
+    d_knn = pathlengths(xyz, knn=20)
+    d_grown = pathlengths(xyz, knn=20, method="grown")
+    assert (d_grown >= d_knn - 1e-9).all()
+    assert np.median(d_grown / np.maximum(d_knn, 1e-9)) < 1.5
+
+
+def test_pathlength_downsampled_flow():
+    from pointstowood_tpu.tools.pathlength import pathlengths_downsampled
+
+    z = np.linspace(0, 10, 400)
+    xyz = np.stack([np.zeros(400), np.zeros(400), z], axis=1)
+    d = pathlengths_downsampled(xyz, voxel=0.5, knn=5)
+    # every point inherits its 0.5 m cell representative's distance
+    assert np.isfinite(d).all()
+    np.testing.assert_allclose(d, z, atol=0.6)
+
+
 def test_collect_attributes(rng):
     src = pd.DataFrame(rng.uniform(0, 1, (100, 3)), columns=["x", "y", "z"])
     src["label"] = np.arange(100).astype(float)
