@@ -27,6 +27,14 @@ class TilingConfig:
     # 2D grid resolution for the coarse ground model used for height
     # normalization (hardcoded 5.0 m at reference preprocessing.py:40).
     ground_grid: float = 5.0
+    # False (default): tiles cluster on x/y/z only — spatial tiling as the
+    # reference intends. True: parity mode reproducing the reference's
+    # accidental behavior of clustering on its FULL feature tensor
+    # [x, y, z, reflectance, (label), n_z] (preprocessing.py:58 passes
+    # self.pos to voxel_grid), which additionally splits cells at
+    # reflectance/height-band boundaries. Measured effect: see
+    # scripts/tiling_deviation_experiment.py and BASELINE.md.
+    cluster_features: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,13 +54,17 @@ class ModelConfig:
     # static budget (overflow keeps lowest point indices).
     stage_fractions: Sequence[float] = (0.5, 0.5, 0.5)
     fp_k: int = 2  # kNN-interpolate neighbors in FP modules (model.py:215-218)
-    # 'approx': TPU PartialReduce neighbor selection (fast, ~0.95 recall
-    # with boundary-tie swaps only); 'exact': fp32 streaming top-k parity
-    # path. See ops/knn.py.
-    knn_mode: str = "approx"
-    # per-neighbor recall target of the approx path (bf16 distances cap the
-    # achievable recall near 0.96; 0.95 is the measured sweet spot)
-    knn_recall: float = 0.95
+    # 'fast': Pallas fused group-min + approx_min_k selection (measured at
+    # the SA1 shape on v5e: 13.9 ms / 0.970 true recall vs the unfused
+    # 'approx' path's 21.1 ms / 0.953); 'approx': XLA bf16 matmul +
+    # approx_min_k; 'exact': fp32 streaming top-k parity path. See
+    # ops/knn.py.
+    knn_mode: str = "fast"
+    # Stage-2 (PartialReduce) recall target. Defaults are tuned per mode:
+    # the fast path's fp32-grade stage-1 ranking achieves 0.97 true recall
+    # at target 0.9; the approx path's bf16 matrix needs 0.95 to reach
+    # 0.953 true recall.
+    knn_recall: float = 0.9
     # MLP/conv activation compute dtype; 'bfloat16' is the TPU analogue of
     # the reference's AMP autocast, 'float32' the exact parity path.
     compute_dtype: str = "bfloat16"

@@ -110,6 +110,12 @@ class TileBatcher:
         data before this fix).
     """
 
+    # Buckets holding less than this fraction of the run's padded points
+    # merge into the next larger bucket: one fewer compiled shape always
+    # beats a sliver of padding (a compile is worth millions of points of
+    # forward; see bucket_capacities).
+    MERGE_FRACTION = 0.08
+
     def __init__(self, tiles: Sequence[Tile], batch_size: int,
                  min_pts: int, max_pts: int, with_labels: bool = False,
                  shuffle: bool = False, seed: int = 0,
@@ -123,6 +129,37 @@ class TileBatcher:
         self.augment = augment
         self.bucket = bucket
         self._epoch = 0
+        self._tile_cap = None
+        if bucket and self.tiles:
+            caps = [self._capacity_for(len(t)) for t in self.tiles]
+            self._tile_cap = self._merge_sparse_buckets(caps)
+
+    def _merge_sparse_buckets(self, caps: List[int]) -> List[int]:
+        """Promote tiles out of buckets that hold a sliver of the padded
+        points (deterministic from the tile set, so tile_order() and
+        iteration agree)."""
+        from collections import Counter
+
+        counts = Counter(caps)
+        present = sorted(counts)
+        total = sum(c * counts[c] for c in present)
+        while len(present) > 1:
+            smallest_ok = True
+            for i, c in enumerate(present[:-1]):
+                if c * counts[c] < self.MERGE_FRACTION * total:
+                    nxt = present[i + 1]
+                    counts[nxt] += counts.pop(c)
+                    present = sorted(counts)
+                    smallest_ok = False
+                    break
+            if smallest_ok:
+                break
+        kept = sorted(counts)
+        out = []
+        for c in caps:
+            bigger = [k for k in kept if k >= c]
+            out.append(bigger[0] if bigger else kept[-1])
+        return out
 
     def _capacity_for(self, n: int) -> int:
         for c in self.capacities:
@@ -135,17 +172,18 @@ class TileBatcher:
             return -(-len(self.tiles) // self.batch_size)
         from collections import Counter
 
-        counts = Counter(self._capacity_for(len(t)) for t in self.tiles)
+        counts = Counter(self._tile_cap or [])
         return sum(-(-c // self.batch_size) for c in counts.values())
 
-    def _emit(self, chunk, rng):
+    def _emit(self, chunk, rng, cap=None):
         arrays = []
         for ti in chunk:
             pts = self.tiles[ti].points
             if self.augment is not None:
                 pts = self.augment(pts, rng)
             arrays.append(pts)
-        cap = self._capacity_for(max(a.shape[0] for a in arrays))
+        if cap is None:  # mixed mode: pad to the largest member's bucket
+            cap = self._capacity_for(max(a.shape[0] for a in arrays))
         # pad batch dim with empty tiles for a static B
         n_pad = self.batch_size - len(arrays)
         width = arrays[0].shape[1]
@@ -166,7 +204,7 @@ class TileBatcher:
             return list(range(len(self.tiles)))
         buckets: dict = {}
         for ti in range(len(self.tiles)):
-            buckets.setdefault(self._capacity_for(len(self.tiles[ti])), []).append(ti)
+            buckets.setdefault(self._tile_cap[ti], []).append(ti)
         return [ti for cap in sorted(buckets) for ti in buckets[cap]]
 
     def __iter__(self) -> Iterator[tuple]:
@@ -181,8 +219,8 @@ class TileBatcher:
             return
         buckets: dict = {}
         for ti in order:
-            cap = self._capacity_for(len(self.tiles[ti]))
-            buckets.setdefault(cap, []).append(ti)
+            buckets.setdefault(self._tile_cap[ti], []).append(ti)
         for cap, idxs in sorted(buckets.items()):
             for start in range(0, len(idxs), self.batch_size):
-                yield self._emit(idxs[start : start + self.batch_size], rng)
+                yield self._emit(idxs[start : start + self.batch_size], rng,
+                                 cap=cap)

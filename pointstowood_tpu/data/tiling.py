@@ -47,12 +47,18 @@ class Tile:
         return self.points.shape[0]
 
 
-def _split_by_cell(xyz: np.ndarray, size: float) -> List[np.ndarray]:
-    """Index groups of points per occupied (size^3) voxel cell."""
-    origin = xyz.min(axis=0)
-    cells = np.floor((xyz - origin) / size).astype(np.int64)
+def _split_by_cell(feats: np.ndarray, size: float) -> List[np.ndarray]:
+    """Index groups of points per occupied (size^D) voxel cell.
+
+    ``feats`` is (N, D): 3 columns for spatial tiling, or the full feature
+    tensor in reference-parity mode (torch_cluster's voxel_grid broadcasts a
+    scalar size over every input dimension)."""
+    origin = feats.min(axis=0)
+    cells = np.floor((feats - origin) / size).astype(np.int64)
     extent = cells.max(axis=0) + 1
-    ids = (cells[:, 0] * extent[1] + cells[:, 1]) * extent[2] + cells[:, 2]
+    ids = cells[:, 0]
+    for d in range(1, cells.shape[1]):
+        ids = ids * extent[d] + cells[:, d]
     order = np.argsort(ids, kind="stable")
     sorted_ids = ids[order]
     boundaries = np.flatnonzero(np.diff(sorted_ids)) + 1
@@ -97,9 +103,20 @@ def preprocess_cloud(
     else:
         weight = None
 
+    # Spatial tiling clusters on xyz only (the stated intent). Parity mode
+    # replicates the reference's accidental full-tensor clustering
+    # (preprocessing.py:58): quantile-normalized reflectance, (label), and
+    # the appended n_z column all contribute voxel boundaries.
+    if getattr(config, "cluster_features", False):
+        cluster_arr = np.concatenate(
+            [data, pc["n_z"].to_numpy().astype(np.float32)[:, None]], axis=1
+        )
+    else:
+        cluster_arr = xyz
+
     tiles: List[Tile] = []
     for size in config.grid_size:
-        for cell_idx in _split_by_cell(xyz, float(size)):
+        for cell_idx in _split_by_cell(cluster_arr, float(size)):
             if cell_idx.shape[0] < config.min_pts:
                 continue
             if cell_idx.shape[0] > config.max_pts:

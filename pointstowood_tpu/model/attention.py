@@ -73,7 +73,7 @@ class ATSearchKNN(nn.Module):
     k: int
     attention_dim: int = 32
     knn_chunk: int = 1024
-    knn_method: str = "approx"
+    knn_method: str = "fast"
 
     @nn.compact
     def __call__(self, x, pos4, mask, center_idx, center_valid):

@@ -57,8 +57,8 @@ class SAStage(nn.Module):
     capacity: int  # static number of center slots
     use_radius: bool  # SA1 uses radius search (r = 2*resolution)
     knn_chunk: int = 1024
-    knn_method: str = "approx"
-    knn_recall: float = 0.95
+    knn_method: str = "fast"
+    knn_recall: float = 0.9
     dtype: jnp.dtype = jnp.float32
     # eval-time voxel representative choice: "hash" (spatially unbiased
     # overflow) or "last" (reference consecutive_cluster CPU parity)
@@ -165,8 +165,8 @@ class Net(nn.Module):
     knn_chunk: int = 1024
     # 'approx': TPU PartialReduce selection, bf16 distance matmuls (fast
     # path); 'exact': fp32 streaming top-k (parity path). See ops/knn.py.
-    knn_method: str = "approx"
-    knn_recall: float = 0.95
+    knn_method: str = "fast"
+    knn_recall: float = 0.9
     # eval voxel representative choice; "last" = reference parity (see
     # ops/voxel.voxel_representatives)
     voxel_priority: str = "hash"

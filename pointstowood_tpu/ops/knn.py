@@ -19,6 +19,18 @@ Two selection paths:
   against KD-tree oracles remain exact.
 * ``method='exact'``: streaming scan that keeps a running top-k via
   ``lax.top_k`` merges in full fp32 — the parity path.
+* ``method='fast'``: Pallas-fused grouped two-stage selection
+  (ops/pallas_knn.py): one kernel computes fp32 distances on the MXU and
+  folds g=8 strided column blocks into slot-packed group minima; XLA's
+  approx_min_k then selects over the 8x smaller matrix. fp32 ranking
+  (vs the approx path's bf16 matrix) lifts achievable recall, so the
+  stage-2 recall_target buys more true recall per millisecond. Measured
+  at the SA1 shape (8x8192x16384, k=32, v5e) against approx@0.95 =
+  21.1 ms / 0.953 true recall: fast@0.90 = 13.9 ms / 0.970 (bf16x3
+  kernel matmul — fp32-exact 'highest' gives identical recall at
+  17.8 ms; single-pass bf16 gives 11.0 ms / 0.944). The model default.
+  Falls back to the approx path when the kernel's shape constraints
+  don't hold (n < 2048 or n % 1024 != 0).
 """
 
 from __future__ import annotations
@@ -110,6 +122,39 @@ def _approx_knn(q, s, smask, k, recall_target, query_block, with_dist):
     return idx, d2
 
 
+def _fast_knn(q, s, smask, k, recall_target, query_block, with_dist):
+    """Pallas-fused grouped selection (see ops/pallas_knn.py): the fused
+    kernel emits slot-packed fp32 group minima; approx_min_k then selects
+    over a g-times smaller matrix and the winning member index pops out of
+    the selected value's low bits. Falls back to the plain approx path when
+    the kernel's shape constraints don't hold."""
+    from pointstowood_tpu.ops import pallas_knn
+
+    n = s.shape[0]
+    g = pallas_knn.supported(n, k)
+    if not g:
+        return _approx_knn(q, s, smask, k, recall_target, query_block,
+                           with_dist)
+    n_groups = n // g
+    penalty = jnp.sum(s * s, axis=1) + jnp.where(smask, 0.0, _INF)
+    n_q = q.shape[0]
+    pad = (-n_q) % pallas_knn.QUERY_BLOCK
+    q_p = _pad_to(q, n_q + pad)
+    gmin = pallas_knn.group_min(q_p, s, penalty, g)
+    vals, gidx = jax.lax.approx_min_k(gmin, k, recall_target=recall_target)
+    slot = pallas_knn.unpack_slot(vals)
+    idx = (slot * jnp.int32(n_groups) + gidx.astype(jnp.int32))[:n_q]
+    vals = vals[:n_q]
+    if not with_dist:
+        # selection values are pen - 2 q.s (not distances): finite exactly
+        # where the chosen source was valid, which is all consumers need
+        return idx, vals
+    sel = s[idx]  # (Q, k, 3)
+    d2 = jnp.sum(jnp.square(q[:, None, :] - sel), axis=-1)
+    d2 = jnp.where(smask[idx], d2, _INF)
+    return idx, d2
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -160,6 +205,9 @@ def knn_masked(
     k_eff = min(k, s.shape[0])
     if method == "exact":
         idx, d2 = _exact_knn(q, s, smask, k_eff, min(chunk_size, max(s.shape[0], 8)))
+    elif method == "fast":
+        idx, d2 = _fast_knn(q, s, smask, k_eff, recall_target,
+                            min(query_block, max(q.shape[0], 8)), with_dist)
     else:
         idx, d2 = _approx_knn(q, s, smask, k_eff, recall_target,
                               min(query_block, max(q.shape[0], 8)), with_dist)

@@ -1,0 +1,187 @@
+"""Pallas fused distance + group-min kernel for the fast kNN path.
+
+The TPU-native replacement for the torch-cluster kNN kernel's inner loop
+(reference: pointstowood/src/model.py:117-120) at the kernel level.
+
+Why this shape: XLA's approx_min_k (PartialReduce) costs ~3x the matrix
+read floor at k=32 (measured 26 ms vs 8.6 ms on the 8x8192x16384 SA1
+distance matrix, scripts/knn_select_probe.py), and every attempt to
+pre-reduce the candidate set with XLA elementwise ops (where-chains,
+3D-reshape reductions, packed-key minimum trees) defeated fusion and ran
+2-4x slower than the unfused op. Inside one Pallas kernel the whole
+pipeline stays in VMEM: squared distances come off the MXU in fp32
+(better neighbor ranking than the bf16-matmul selection the unfused path
+uses), a minimum tree folds the g strided column blocks, and only a
+(Q, N/g) matrix of group minima ever reaches HBM — a g-times smaller
+selection problem for the stage-2 top-k.
+
+Kernel economics (measured on v5e at the SA1 shape, B=8 Q=8192 N=16384):
+
+* Broadcast VPU multiply-accumulate distance chains + folding groups by
+  read-modify-write through the output refs: 54 ms — slower than the
+  unfused path. The version below issues ONE fp32 matmul per half-row on
+  the otherwise-idle MXU and keeps the min-tree in SSA values over lane
+  slices (two 8192-lane halves keep live tiles inside the ~16 MB VMEM
+  scope): 4.6 ms.
+* Emitting the winning member slot as a second (Q, N/g) int32 output cost
+  32 ms of stage-3 ``take_along_axis`` (2M element gathers) plus half the
+  kernel's HBM write traffic. Instead the slot is packed into the low
+  3 mantissa bits of the fp32 group minimum (<= 7 ulp ranking noise, far
+  below bf16's 8-bit mantissa): stage 2 selects over the packed values
+  directly and the slot pops back out of the selected value's bits — no
+  gather at all. +inf survives packing exactly: an all-masked group keeps
+  slot 0 (inf < inf is false), and inf | 0 == inf.
+
+Grouping: group j holds source indices {a * N/g + j for a < g}
+(stride N/g). Tile arrays are spatially cell-sorted, so index-adjacent
+points are spatial neighbors; the stride puts them in different groups and
+intra-group true-neighbor collisions stay near the random ~1-3% level.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QUERY_BLOCK = 128
+_HALVES = 2
+SLOT_BITS = 3  # supports g <= 8
+
+
+def _make_kernel(g: int, n_groups: int, n: int, precision):
+    n_half = n // _HALVES
+    blocks_per_half = g // _HALVES
+
+    dot_prec = (
+        jax.lax.Precision.DEFAULT if precision == "bf16x3" else precision
+    )
+
+    def dot_f32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_prec,
+        )
+
+    def dot_3pass(a, b):
+        # Emulated bf16x3 (Mosaic rejects Precision.HIGH): hi/lo-split both
+        # operands and drop only the lo*lo term — ~2^-18 relative product
+        # error, fp32-grade for neighbor ranking, at half the passes of
+        # HIGHEST (fp32 contraction dim 4 pads to 128 either way, so every
+        # avoided pass is pure savings).
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot_f32(ah, bh) + (dot_f32(ah, bl) + dot_f32(al, bh))
+
+    def kernel(q_ref, st_ref, pen_ref, gmin_ref):
+        # q (QB, 4) query block [x, y, z, 0]; st (4, N) sources stacked as
+        # [-2x, -2y, -2z, 1]; pen (1, N) = ||s||^2 (+inf at masked
+        # sources). One matmul then yields pen - 2 q.s directly, which
+        # ranks like the true distance (the per-query ||q||^2 constant is
+        # rank-invariant).
+        qb = q_ref[:]
+        m = None
+        slot = None
+        for h in range(_HALVES):
+            lo_h = h * n_half
+            sth = st_ref[:, lo_h : lo_h + n_half]
+            if precision == "bf16x3":
+                cross = dot_3pass(qb, sth)
+            else:
+                cross = dot_f32(qb, sth)
+            d = cross + pen_ref[:, lo_h : lo_h + n_half]
+            for a in range(blocks_per_half):
+                blk = h * blocks_per_half + a
+                da = d[:, a * n_groups : (a + 1) * n_groups]
+                if m is None:
+                    m = da
+                    slot = jnp.zeros(da.shape, jnp.uint32)
+                else:
+                    upd = da < m
+                    m = jnp.where(upd, da, m)
+                    slot = jnp.where(upd, jnp.uint32(blk), slot)
+        bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+        # clear the low SLOT_BITS via shifts (avoids a captured mask
+        # constant, which pallas kernels may not close over)
+        packed = ((bits >> SLOT_BITS) << SLOT_BITS) | slot
+        gmin_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g", "precision"))
+def group_min(q: jax.Array, s: jax.Array, penalty: jax.Array, g: int,
+              precision: str = "bf16x3"):
+    """Per (query, group): min selection value with the winning member slot
+    packed into its low SLOT_BITS mantissa bits.
+
+    q: (Q, 3) fp32 queries (Q a multiple of QUERY_BLOCK).
+    s: (N, 3) fp32 sources (N a multiple of g*128).
+    penalty: (N,) fp32 = ||s||^2, +inf at masked sources.
+    precision: MXU passes for the fp32 distance matmul — 'default' (one
+      bf16 pass: cheapest, bf16-grade ranking), 'bf16x3' (emulated
+      3-pass split product: ~fp32-grade ranking at half of 'highest', the
+      measured sweet spot), 'highest' (fp32-exact; the contraction dim is
+      only 4, padded to 128, so extra passes are pure overhead).
+    Returns gmin (Q, N/g) fp32 (slot-packed; +inf where the whole group is
+    masked).
+
+    vmap-safe: the pallas batching rule prepends a grid axis with 1-sized
+    blocks, so per-step VMEM stays at the unbatched footprint.
+    """
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "bf16x3": "bf16x3",
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+    n = s.shape[0]
+    n_groups = n // g
+    q_n = q.shape[0]
+    # Fold the -2 factor into the source operand so the kernel's matmul
+    # epilogue is a single add of the penalty row.
+    q4 = jnp.concatenate([q, jnp.zeros((q_n, 1), jnp.float32)], axis=1)
+    st = jnp.concatenate(
+        [(-2.0) * s.T, jnp.ones((1, n), jnp.float32)], axis=0
+    )  # (4, N)
+    pen = penalty[None, :]
+    grid = (q_n // QUERY_BLOCK,)
+    # Mosaic is TPU-only; the simulated-CPU test platform runs the kernel
+    # through the Pallas interpreter (same numerics).
+    interpret = jax.devices()[0].platform == "cpu"
+    gmin = pl.pallas_call(
+        _make_kernel(g, n_groups, n, prec),
+        out_shape=jax.ShapeDtypeStruct((q_n, n_groups), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((QUERY_BLOCK, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((QUERY_BLOCK, n_groups), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q4, st, pen)
+    return gmin
+
+
+def unpack_slot(vals: jax.Array) -> jax.Array:
+    """Recover the winning member slot from packed group minima."""
+    bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    return (bits & jnp.uint32((1 << SLOT_BITS) - 1)).astype(jnp.int32)
+
+
+def supported(n: int, k: int) -> int:
+    """Largest valid group count for n sources (0 = kernel not usable)."""
+    g = 8
+    while g > 1 and (n % (g * 128) or (n // g) < k):
+        g //= 2
+    if g <= 1 or n < 2048 or g % _HALVES:
+        return 0
+    return g

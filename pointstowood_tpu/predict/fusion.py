@@ -48,12 +48,20 @@ def _fuse_chunk(prob, idx, is_wood, any_wood, any_wood_is_one: bool):
     return label, pwood
 
 
+def _auto_chunk(k: int) -> int:
+    """Queries per fusion chunk: the kernel's dominant temporaries are ~3
+    (chunk, k) fp32 blocks; cap them near 512 MB of device scratch and keep
+    powers of two so chunk-shape compiles are reused across runs."""
+    n = max(1 << 16, (1 << 29) // (12 * k))
+    return 1 << (n.bit_length() - 1)
+
+
 def fuse_labels(
     classified: np.ndarray,
     query_xyz: np.ndarray,
     is_wood: float,
     any_wood: float,
-    chunk: int = 1 << 20,
+    chunk: int | None = None,
     indices: np.ndarray | None = None,
 ) -> np.ndarray:
     """Return (N, 2) [label, pwood] for every query point.
@@ -66,6 +74,8 @@ def fuse_labels(
     k = 64 if any_wood == 1 else 32
     m = classified.shape[0]
     k = min(k, m)
+    if chunk is None:
+        chunk = _auto_chunk(k)
     if indices is None:
         indices = knn_indices(classified[:, :3], query_xyz, k)
     prob = jnp.asarray(classified[:, -1].astype(np.float32))
@@ -78,6 +88,26 @@ def fuse_labels(
         out[start : start + chunk, 0] = np.asarray(label)
         out[start : start + chunk, 1] = np.asarray(pwood)
     return out
+
+
+def warm_fuse(m: int, n_queries: int, k: int, is_wood: float,
+              any_wood: float, chunk: int | None = None) -> None:
+    """Pre-compile _fuse_chunk for the exact shapes fuse_labels will use.
+
+    Every shape is known before the model produces a single probability
+    (m = total valid tile points, n_queries = original cloud size), so the
+    predict engine triggers this compile concurrently with the model phase
+    — on relay-compiled environments it is tens of seconds off the
+    post-model critical path.
+    """
+    if chunk is None:
+        chunk = _auto_chunk(min(k, m))
+    prob = jnp.zeros(m, jnp.float32)
+    shapes = sorted({min(chunk, n_queries - s)
+                     for s in range(0, n_queries, chunk)})
+    for s in shapes:
+        _fuse_chunk(prob, jnp.zeros((s, k), jnp.int32),
+                    jnp.float32(is_wood), any_wood, any_wood == 1)
 
 
 def knn_indices(source_xyz: np.ndarray, query_xyz: np.ndarray, k: int) -> np.ndarray:

@@ -144,7 +144,7 @@ def semantic_segmentation(
     import os
     import time
 
-    from pointstowood_tpu.predict.fusion import knn_indices
+    from pointstowood_tpu.predict.fusion import knn_indices, warm_fuse
 
     net = build_net(model_cfg)
     ctx = (
@@ -169,8 +169,14 @@ def semantic_segmentation(
         query_xyz = pc[["x", "y", "z"]].to_numpy()
         k = 64 if predict_cfg.any_wood == 1 else 32
         k = min(k, source_xyz.shape[0])
-        executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         index_future = executor.submit(knn_indices, source_xyz, query_xyz, k)
+        # compile the fusion median/vote kernel concurrently too: all its
+        # shapes are known before any probability exists
+        executor.submit(
+            warm_fuse, source_xyz.shape[0], len(pc), k,
+            predict_cfg.is_wood, predict_cfg.any_wood,
+        )
 
     with ctx:
         classified = run_inference(

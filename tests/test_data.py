@@ -40,6 +40,32 @@ def test_preprocess_adds_nz_and_tiles():
     assert len(tiles2) > len(tiles)
 
 
+def test_preprocess_cluster_features_parity_mode():
+    """cluster_features=True reproduces the reference's full-tensor
+    clustering (preprocessing.py:58): quantile-normalized reflectance spans
+    [-1, 1], so a grid size of 1.0 splits a single spatial cell at the
+    reflectance median."""
+    df = _cloud_df(400, spread=0.5, seed=3)  # one spatial cell at size 1.0
+    xyz_tiles = preprocess_cloud(
+        df.copy(), TilingConfig(grid_size=(1.0,), min_pts=16, max_pts=4096)
+    )
+    assert len(xyz_tiles) == 1 and len(xyz_tiles[0]) == 400
+    full_tiles = preprocess_cloud(
+        df.copy(),
+        TilingConfig(grid_size=(1.0,), min_pts=16, max_pts=4096,
+                     cluster_features=True),
+    )
+    # reflectance boundary splits the cell; the single max-reflectance
+    # point (normalized exactly 1.0) falls in a third cell of its own and
+    # is dropped by min_pts — faithful to the reference, which loses the
+    # same point (it only gets a label back through fusion)
+    assert len(full_tiles) == 2
+    assert sum(len(t) for t in full_tiles) == 399
+    for t in full_tiles:  # each side of the split is reflectance-pure
+        r = t.points[:, 3]
+        assert (r < 0).all() or (r >= 0).all()
+
+
 def test_preprocess_oversized_cells_subsample():
     df = _cloud_df(5000, spread=1.0)  # all in one 2m cell
     cfg = TilingConfig(grid_size=(2.0,), min_pts=16, max_pts=1000)
@@ -134,6 +160,34 @@ def test_tile_batcher_covers_all_tiles_and_pads_batch():
         assert batch.pos.shape[1] == cap
         seen.extend(idxs)
     assert sorted(seen) == [0, 1, 2, 3, 4]  # nothing dropped
+
+
+def test_tile_batcher_merges_sparse_buckets(rng):
+    """Buckets holding a sliver of the padded points merge upward: one
+    fewer compiled shape beats the padding (compile >> padding cost)."""
+    # 40 big tiles + 1 tiny tile: the tiny bucket is <8% of padded points
+    tiles = [
+        Tile(points=rng.normal(size=(1000, 4)).astype(np.float32), grid_size=2.0)
+        for _ in range(40)
+    ] + [Tile(points=rng.normal(size=(100, 4)).astype(np.float32), grid_size=2.0)]
+    batcher = TileBatcher(tiles, batch_size=4, min_pts=64, max_pts=1024)
+    caps = {cap for cap, _, _ in batcher}
+    assert caps == {1024}  # tiny tile promoted; a single compiled shape
+    seen = [i for _, _, idxs in batcher for i in idxs]
+    assert sorted(seen) == list(range(41))
+    # but a substantial small bucket is kept
+    tiles2 = (
+        [Tile(points=rng.normal(size=(1000, 4)).astype(np.float32), grid_size=2.0)
+         for _ in range(8)]
+        + [Tile(points=rng.normal(size=(100, 4)).astype(np.float32), grid_size=2.0)
+           for _ in range(30)]
+    )
+    batcher2 = TileBatcher(tiles2, batch_size=4, min_pts=64, max_pts=1024)
+    assert {cap for cap, _, _ in batcher2} == {256, 1024}
+    # tile_order stays consistent with iteration under merging
+    order = batcher2.tile_order()
+    it_order = [i for _, _, idxs in batcher2 for i in idxs]
+    assert order == it_order
 
 
 def test_tile_batcher_mixed_mode(rng):

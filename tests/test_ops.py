@@ -62,6 +62,39 @@ def test_knn_query_mask(rng):
     assert valid[0].all() and not valid[1].any()
 
 
+def test_knn_fast_pallas_path(rng):
+    """method='fast' (Pallas group-min kernel, interpreter on CPU): high
+    recall vs the KD-tree, masked sources never selected, and fallback to
+    the approx path below the kernel's shape floor."""
+    src = rng.normal(size=(2048, 3)).astype(np.float32)
+    q = rng.normal(size=(300, 3)).astype(np.float32)
+    idx, d2, valid = knn_masked(q, src, k=32, method="fast")
+    assert bool(np.asarray(valid).all())
+    tree = cKDTree(src)
+    _, ref_i = tree.query(q, k=32)
+    hits = sum(
+        len(set(map(int, a)) & set(map(int, b)))
+        for a, b in zip(np.asarray(idx), ref_i)
+    )
+    assert hits / (300 * 32) > 0.9  # grouped selection: ~1-3% collisions
+    # masked sources are never selected (the +inf penalty survives
+    # slot-packing bit-exactly)
+    smask = np.ones(2048, bool)
+    smask[:1024] = False
+    idx2, _, v2 = knn_masked(
+        q, src, k=32, source_mask=jnp.array(smask), method="fast"
+    )
+    sel = np.asarray(idx2)[np.asarray(v2)]
+    assert sel.min() >= 1024 and np.asarray(v2).all()
+    # below the kernel floor the approx fallback keeps exact CPU semantics
+    idx3, _, v3 = knn_masked(q[:10], src[:500], k=8, method="fast")
+    ref_d3, ref_i3 = tree.__class__(src[:500]).query(q[:10], k=8)
+    assert all(
+        set(map(int, a)) == set(map(int, b))
+        for a, b in zip(np.asarray(idx3), ref_i3)
+    )
+
+
 def test_radius_masks_far_points(rng):
     src = rng.uniform(0, 10, size=(300, 3)).astype(np.float32)
     q = src[:50]
