@@ -65,9 +65,14 @@ def knn_interpolate_batched(
     from pointstowood_tpu.model.pointconv import gather_rows
 
     def search(q, s, qm, sm):
+        # with_dist=False: exact distances are recomputed below from the
+        # SAME gather that fetches the features (one fused row gather
+        # instead of two — row gathers are op-overhead bound on TPU, so
+        # halving the row count halves the cost).
         return knn_masked(
             q, s, k,
-            query_mask=qm, source_mask=sm, chunk_size=chunk_size, method=method,
+            query_mask=qm, source_mask=sm, chunk_size=chunk_size,
+            method=method, with_dist=False,
         )
 
     b = x.shape[0]
@@ -75,10 +80,16 @@ def knn_interpolate_batched(
     tmask = (
         jnp.ones(target_pos.shape[:2], bool) if target_mask is None else target_mask
     )
-    idx, d2, valid = jax.vmap(search)(target_pos, pos, tmask, smask)
+    idx, _, valid = jax.vmap(search)(target_pos, pos, tmask, smask)
+    gathered = gather_rows(
+        jnp.concatenate([x.astype(jnp.float32), pos], axis=-1), idx
+    )  # (B, T, k, C+3)
+    feats = gathered[..., :-3].astype(x.dtype)
+    rel = gathered[..., -3:] - target_pos[:, :, None, :]
+    d2 = jnp.sum(rel * rel, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
     w = 1.0 / jnp.maximum(d2, 1e-16)
     w = jnp.where(valid, w, 0.0)
-    feats = gather_rows(x, idx)  # (B, T, k, C)
     # where(), not feats * 0: invalid-slot features may hold inf garbage
     num = jnp.sum(
         jnp.where(valid[..., None], feats * w[..., None].astype(feats.dtype), 0.0),

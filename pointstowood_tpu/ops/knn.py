@@ -131,13 +131,28 @@ def _fast_knn(q, s, smask, k, recall_target, query_block, with_dist):
     from pointstowood_tpu.ops import pallas_knn
 
     n = s.shape[0]
+    n_q = q.shape[0]
+    if k == 2 and pallas_knn.top2_supported(n):
+        # FP-interpolation case: the kernel reduces the EXACT top-2 in
+        # VMEM — no stage-2 selection op at all (and full recall, unlike
+        # the grouped path).
+        penalty = jnp.sum(s * s, axis=1) + jnp.where(smask, 0.0, _INF)
+        pad = (-n_q) % pallas_knn.TOP2_QUERY_BLOCK
+        q_p = _pad_to(q, n_q + pad)
+        vals, idx = pallas_knn.top2(q_p, s, penalty)
+        idx, vals = idx[:n_q], vals[:n_q]
+        if not with_dist:
+            # masked selections come back clamped near fp32-max, not +inf
+            return idx, jnp.where(vals > 1e38, _INF, vals)
+        sel = s[idx]
+        d2 = jnp.sum(jnp.square(q[:, None, :] - sel), axis=-1)
+        return idx, jnp.where(smask[idx], d2, _INF)
     g = pallas_knn.supported(n, k)
     if not g:
         return _approx_knn(q, s, smask, k, recall_target, query_block,
                            with_dist)
     n_groups = n // g
     penalty = jnp.sum(s * s, axis=1) + jnp.where(smask, 0.0, _INF)
-    n_q = q.shape[0]
     pad = (-n_q) % pallas_knn.QUERY_BLOCK
     q_p = _pad_to(q, n_q + pad)
     gmin = pallas_knn.group_min(q_p, s, penalty, g)

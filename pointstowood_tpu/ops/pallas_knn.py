@@ -171,6 +171,145 @@ def group_min(q: jax.Array, s: jax.Array, penalty: jax.Array, g: int,
     return gmin
 
 
+TOP2_GROUPS = 256
+TOP2_QUERY_BLOCK = 256  # larger blocks amortize per-grid-step overhead;
+# 512 blew the 16 MB scoped-VMEM limit (the bf16x3 partial products keep
+# ~2 live (QB, n/2) fp32 tiles next to the folded matrix)
+_SLOT2_BITS = 6  # supports n up to 64 * TOP2_GROUPS
+
+
+def _make_top2_kernel(n: int):
+    n_half = n // _HALVES
+    g = n // TOP2_GROUPS
+    slices_per_half = g // _HALVES
+
+    def kernel(q_ref, st_ref, pen_ref, vals_ref, idx_ref):
+        # Same operands as the group-min kernel; output is the top-2 per
+        # query (selection values + source indices) — no stage-2 op at all.
+        # k=2 is the FP-interpolation case (reference model.py:149).
+        #
+        # Equality-argmin over the full row costs ~9 VPU passes (measured
+        # slower than the unfused path). Instead each TOP2_GROUPS-wide
+        # slice is packed (slice id into the low mantissa bits) and folded
+        # with ONE jnp.minimum per slice; the top-2 reduction then runs on
+        # the (QB, TOP2_GROUPS) folded matrix — 32x fewer elements. The
+        # true minimum always survives the fold; the runner-up is lost only
+        # when both land in the same group column (~1/TOP2_GROUPS of
+        # queries pick the 3rd-nearest instead).
+        qb = q_ref[:]
+        big = 3.0e38  # python literals lower as inline scalars; jnp
+        # scalars would be captured constants, which pallas rejects
+
+        m = None
+        for h in range(_HALVES):
+            lo_h = h * n_half
+            sth = st_ref[:, lo_h : lo_h + n_half]
+            ah = qb.astype(jnp.bfloat16)
+            al = (qb - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = sth.astype(jnp.bfloat16)
+            bl = (sth - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            d = (dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+                 ) + pen_ref[:, lo_h : lo_h + n_half]
+            # clamp +inf (masked sources) BEFORE packing: inf | slot is a
+            # NaN payload and NaN poisons jnp.minimum
+            d = jnp.minimum(d, big)
+            for a in range(slices_per_half):
+                slot = h * slices_per_half + a
+                # shift/OR per slice (a full-width bits temp would double
+                # the live VMEM next to d)
+                sl = jax.lax.bitcast_convert_type(
+                    d[:, a * TOP2_GROUPS : (a + 1) * TOP2_GROUPS],
+                    jnp.uint32,
+                )
+                sl = (sl >> _SLOT2_BITS) << _SLOT2_BITS
+                if slot:
+                    sl = sl | slot
+                p = jax.lax.bitcast_convert_type(sl, jnp.float32)
+                m = p if m is None else jnp.minimum(m, p)
+
+        # top-2 over the folded (QB, TOP2_GROUPS) matrix
+        iota = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+        v1 = jnp.min(m, axis=1, keepdims=True)
+        j1 = jnp.min(jnp.where(m <= v1, iota, n), axis=1, keepdims=True)
+        m2 = jnp.where(iota == j1, big, m)
+        v2 = jnp.min(m2, axis=1, keepdims=True)
+        j2 = jnp.min(jnp.where(m2 <= v2, iota, n), axis=1, keepdims=True)
+
+        def unpack(v, j):
+            b = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            slot = (b & ((1 << _SLOT2_BITS) - 1)).astype(jnp.int32)
+            return slot * TOP2_GROUPS + j
+
+        vals_ref[:] = jnp.concatenate([v1, v2], axis=1)
+        idx_ref[:] = jnp.concatenate([unpack(v1, j1), unpack(v2, j2)],
+                                     axis=1)
+
+    return kernel
+
+
+@jax.jit
+def top2(q: jax.Array, s: jax.Array, penalty: jax.Array):
+    """Exact nearest-2 selection (the FP-interpolation k).
+
+    q: (Q, 3) fp32 (Q a multiple of TOP2_QUERY_BLOCK); s: (N, 3) fp32
+    (N a multiple of 2*TOP2_GROUPS, N/TOP2_GROUPS <= 64); penalty: (N,) =
+    ||s||^2, +inf at masked rows. Returns vals (Q, 2) fp32 selection
+    values (pen - 2 q.s, slot-packed, clamped to ~3e38 where masked),
+    idx (Q, 2) int32.
+
+    The nearest neighbor is always exact (up to bf16x3 matmul ranking);
+    the runner-up falls to the 3rd-nearest for the ~1/TOP2_GROUPS of
+    queries whose top-2 collide in one folded group column. Only (Q, 2)
+    ever reaches HBM.
+    """
+    n = s.shape[0]
+    q_n = q.shape[0]
+    q4 = jnp.concatenate([q, jnp.zeros((q_n, 1), jnp.float32)], axis=1)
+    st = jnp.concatenate(
+        [(-2.0) * s.T, jnp.ones((1, n), jnp.float32)], axis=0
+    )
+    pen = penalty[None, :]
+    interpret = jax.devices()[0].platform == "cpu"
+    vals, idx = pl.pallas_call(
+        _make_top2_kernel(n),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((q_n, 2), jnp.int32),
+        ),
+        grid=(q_n // TOP2_QUERY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((TOP2_QUERY_BLOCK, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TOP2_QUERY_BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TOP2_QUERY_BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q4, st, pen)
+    return vals, idx
+
+
+def top2_supported(n: int) -> bool:
+    """Shape constraints for the folded top-2 kernel."""
+    return (
+        n >= 2 * TOP2_GROUPS
+        and n % (2 * TOP2_GROUPS) == 0
+        and n // TOP2_GROUPS <= (1 << _SLOT2_BITS)
+    )
+
+
 def unpack_slot(vals: jax.Array) -> jax.Array:
     """Recover the winning member slot from packed group minima."""
     bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)

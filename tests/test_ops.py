@@ -95,6 +95,38 @@ def test_knn_fast_pallas_path(rng):
     )
 
 
+def test_knn_fast_top2(rng):
+    """k=2 on the fast path runs the in-kernel folded top-2 (the
+    FP-interpolation case): the nearest neighbor is always exact; the
+    runner-up may fall to the 3rd-nearest for ~1/256 of queries (group
+    fold collision); masked sources are never chosen."""
+    src = rng.normal(size=(2048, 3)).astype(np.float32)
+    q = rng.normal(size=(300, 3)).astype(np.float32)
+    idx, d2, valid = knn_masked(q, src, k=2, method="fast")
+    assert bool(np.asarray(valid).all())
+    tree = cKDTree(src)
+    ref_d, ref_i = tree.query(q, k=2)
+    got_d = np.sort(np.asarray(d2), 1)
+    # nearest neighbor exact for every query
+    np.testing.assert_allclose(got_d[:, 0], ref_d[:, 0] ** 2,
+                               rtol=1e-3, atol=1e-4)
+    # runner-up exact except fold collisions (expected ~300/256 ~ 1.2)
+    ok2 = np.isclose(got_d[:, 1], ref_d[:, 1] ** 2, rtol=1e-3, atol=1e-4)
+    assert ok2.sum() >= 290
+    exact_rows = sum(
+        set(map(int, a)) == set(map(int, b))
+        for a, b in zip(np.asarray(idx), ref_i)
+    )
+    assert exact_rows >= 290
+    smask = np.ones(2048, bool)
+    smask[:1024] = False
+    idx2, _, v2 = knn_masked(
+        q, src, k=2, source_mask=jnp.array(smask), method="fast"
+    )
+    assert bool(np.asarray(v2).all())
+    assert np.asarray(idx2)[np.asarray(v2)].min() >= 1024
+
+
 def test_radius_masks_far_points(rng):
     src = rng.uniform(0, 10, size=(300, 3)).astype(np.float32)
     q = src[:50]
