@@ -169,6 +169,9 @@ def e2e_benchmark(variables, n_points):
 
 
 def main():
+    from pointstowood_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # no-op where the backend disables it
     pts_per_sec, variables = forward_benchmark()
     result = {
         "metric": "inference_points_per_sec",

@@ -60,8 +60,8 @@ def parse_args(argv=None):
                              'equivalent fast path, float32 = exact)')
     parser.add_argument('--exact_knn', action='store_true',
                         help='exact fp32 neighbor search (parity mode; the '
-                             'default approx mode is ~40x faster at ~0.95 '
-                             'neighbor recall)')
+                             'default Pallas fast mode is ~70x faster at '
+                             '~0.97 neighbor recall)')
     parser.add_argument('--profile', type=str, default=None,
                         help='write a jax.profiler trace of the model phase '
                              'to this directory')
@@ -106,6 +106,9 @@ def main(argv=None):
     from pointstowood_tpu.parallel.mesh import data_mesh
     from pointstowood_tpu.predict.predicter import semantic_segmentation
     from pointstowood_tpu.utils.checkpoint import load_checkpoint
+    from pointstowood_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     tiling_cfg = TilingConfig(
         grid_size=tuple(args.grid_size), min_pts=args.min_pts,
@@ -113,7 +116,8 @@ def main(argv=None):
     )
     model_cfg = ModelConfig(
         channels=args.channels,
-        knn_mode='exact' if args.exact_knn else 'approx',
+        # default 'fast' comes from ModelConfig (Pallas fused selection)
+        **({'knn_mode': 'exact'} if args.exact_knn else {}),
         compute_dtype=args.dtype,
     )
     predict_cfg = PredictConfig(

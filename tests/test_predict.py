@@ -199,3 +199,22 @@ def test_predict_cli_end_to_end(tmp_path):
     assert (out["pwood"] >= 0).all() and (out["pwood"] <= 1).all()
     # xyz preserved
     np.testing.assert_allclose(out["x"].to_numpy(), df["x"].to_numpy(), atol=1e-9)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """The CLIs point JAX's persistent compilation cache at a durable
+    directory; env opt-out and the standard JAX variable both win."""
+    import jax
+
+    from pointstowood_tpu.utils.compile_cache import enable_compile_cache
+
+    monkeypatch.delenv("POINTSTOWOOD_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "xla"))
+    used = enable_compile_cache()
+    assert used == str(tmp_path / "xla")
+    assert os.path.isdir(used)
+    assert jax.config.jax_compilation_cache_dir == used
+
+    monkeypatch.setenv("POINTSTOWOOD_NO_COMPILE_CACHE", "1")
+    assert enable_compile_cache() is None
+    jax.config.update("jax_compilation_cache_dir", None)  # isolate tests

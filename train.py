@@ -61,6 +61,9 @@ def main(argv=None):
     from pointstowood_tpu.io.loader import canonicalize_columns
     from pointstowood_tpu.parallel.mesh import data_mesh
     from pointstowood_tpu.train.trainer import semantic_training
+    from pointstowood_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     print(f'Mode: train')
     tiling_cfg = TilingConfig(
