@@ -19,8 +19,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def data_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
     """A 1-D data-parallel mesh over the first n_devices (default: all).
-    Returns None when only one device is available (plain jit is enough)."""
-    devices = jax.devices()
+    Returns None when only one device is available (plain jit is enough).
+
+    Multi-host: ``jax.devices()`` is the GLOBAL device list, so the same
+    call builds the cross-host mesh on a multi-host slice. Devices are
+    ordered process-contiguously so each process's addressable devices own
+    a contiguous span of the batch dimension (what
+    ``put_sharded``/``fetch`` rely on)."""
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if n_devices is not None:
         devices = devices[:n_devices]
     if len(devices) <= 1 and n_devices is None:
@@ -37,9 +43,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(sharding: NamedSharding, *arrays):
+    """Place host arrays with their leading dim sharded over the mesh.
+
+    Single-process: plain device_put. Multi-host: every process holds the
+    same GLOBAL batch (the input pipeline is deterministic and hosts are
+    fed identically — host preprocessing is ~2% of end-to-end time, so
+    duplicating it is the right v1 trade against a distributed tile
+    store); each process hands JAX only the rows its own devices own via
+    ``make_array_from_process_local_data``.
+    """
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(a, sharding) for a in arrays)
+    pi, pc = jax.process_index(), jax.process_count()
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        per = a.shape[0] // pc
+        local = a[pi * per : (pi + 1) * per]
+        out.append(
+            jax.make_array_from_process_local_data(sharding, local, a.shape)
+        )
+    return tuple(out)
+
+
+def fetch(array) -> np.ndarray:
+    """Read a device array back to EVERY host in full.
+
+    Replicated or single-process arrays transfer directly; batch-sharded
+    multi-host arrays are all-gathered across processes first (fusion
+    needs every tile's probabilities on every host)."""
+    if jax.process_count() == 1 or getattr(array, "is_fully_replicated", True):
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))
+
+
 def shard_batch(mesh: Optional[Mesh], *arrays):
     """Device-put arrays with their leading dim sharded over the mesh."""
     if mesh is None:
         return arrays
-    s = batch_sharding(mesh)
-    return tuple(jax.device_put(a, s) for a in arrays)
+    return put_sharded(batch_sharding(mesh), *arrays)

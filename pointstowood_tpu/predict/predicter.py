@@ -71,6 +71,8 @@ def run_inference(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from pointstowood_tpu.parallel.mesh import put_sharded
+
         n_dev = mesh.devices.size
         if batch_size % n_dev:
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
@@ -86,9 +88,11 @@ def run_inference(
     pending = []  # (device_probs, host_batch) — double buffer so the host
     # readback of batch i overlaps the device compute of batch i+1
 
+    from pointstowood_tpu.parallel.mesh import fetch
+
     def drain(entry):
         probs_dev, batch = entry
-        probs = np.asarray(probs_dev)
+        probs = fetch(probs_dev)
         preds = (probs >= predict_cfg.is_wood).astype(np.float64)
         xyz = batch.pos.astype(np.float64) + batch.shift[:, None, :].astype(np.float64)
         out = np.concatenate(
@@ -102,8 +106,8 @@ def run_inference(
         mask = jnp.asarray(batch.mask)
         sf = jnp.asarray(batch.sf)
         if mesh is not None:
-            pos, refl, mask, sf = (
-                jax.device_put(a, data_sharding) for a in (pos, refl, mask, sf)
+            pos, refl, mask, sf = put_sharded(
+                data_sharding, pos, refl, mask, sf
             )
         pending.append((_forward(net, variables, pos, refl, mask, sf), batch))
         if len(pending) > 2:

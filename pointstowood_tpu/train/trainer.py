@@ -195,11 +195,14 @@ def make_eval_step(net: Net):
 
 def _batch_arrays(batch, sharding=None):
     """Batch arrays as device arrays; with ``sharding`` the leading (batch)
-    dim is laid out across the data mesh before compute starts."""
+    dim is laid out across the data mesh (including across hosts on a
+    multi-host slice) before compute starts."""
+    from pointstowood_tpu.parallel.mesh import put_sharded
+
     arrays = (batch.pos, batch.reflectance, batch.mask, batch.sf, batch.labels)
     if sharding is None:
         return tuple(jnp.asarray(a) for a in arrays)
-    return tuple(jax.device_put(np.asarray(a), sharding) for a in arrays)
+    return put_sharded(sharding, *(np.asarray(a) for a in arrays))
 
 
 def semantic_training(
@@ -263,6 +266,11 @@ def semantic_training(
     model_path = os.path.join(wdir, "model", model_name)
     os.makedirs(os.path.join(wdir, "model"), exist_ok=True)
 
+    # Multi-host: exactly one process touches the (typically shared)
+    # filesystem; the others compute identical replicated state.
+    primary = jax.process_index() == 0
+    save_ckpt = save_checkpoint if primary else (lambda *a, **k: None)
+
     # init params from a representative batch shape
     probe = TileBatcher(
         train_tiles, batch_size=cfg.batch_size,
@@ -287,10 +295,10 @@ def semantic_training(
             )
         except Exception as e:  # reference creates a fresh file on KeyError
             log_fn(f"Failed to load ({e}), creating new...")
-            save_checkpoint(model_path, variables)
+            save_ckpt(model_path, variables)
     else:
         log_fn("\nModel not found, creating new file...")
-        save_checkpoint(model_path, variables)
+        save_ckpt(model_path, variables)
 
     params = variables["params"]
     batch_stats = variables["batch_stats"]
@@ -341,7 +349,7 @@ def semantic_training(
                 net, params, batch_stats, calib_tiles, cfg, tiling_cfg,
                 passes=1, stats_step=stats_step, data_sharding=data_sharding,
             )
-            save_checkpoint(p, {"params": params, "batch_stats": bs_cal})
+            save_ckpt(p, {"params": params, "batch_stats": bs_cal})
             # remember for the end-of-run full BN recalibration re-save
             best_snapshots[path_prefix] = (params, batch_stats)
             log_fn(f"Saving {p}")
@@ -418,15 +426,16 @@ def semantic_training(
         hist_path = os.path.join(
             wdir, "model", os.path.splitext(model_name)[0] + "_history.csv"
         )
-        try:
-            np.savetxt(hist_path, np.asarray(history))
-        except OSError:
-            np.savetxt(hist_path + ".backup", np.asarray(history))
+        if primary:
+            try:
+                np.savetxt(hist_path, np.asarray(history))
+            except OSError:
+                np.savetxt(hist_path + ".backup", np.asarray(history))
 
         if epoch in set(int(c) for c in checkpoints):
             ckpt_dir = os.path.join(wdir, "checkpoints")
             os.makedirs(ckpt_dir, exist_ok=True)
-            save_checkpoint(
+            save_ckpt(
                 os.path.join(ckpt_dir, f"epoch_{epoch}.ckpt"),
                 {"params": params, "batch_stats": batch_stats},
             )
@@ -457,7 +466,7 @@ def semantic_training(
                 stats_step=stats_step, data_sharding=data_sharding,
             )
             log_fn("Saving final GLOBAL model")
-            save_checkpoint(
+            save_ckpt(
                 model_path, {"params": params, "batch_stats": batch_stats}
             )
             # re-save the rolling best checkpoints with their own
@@ -470,7 +479,7 @@ def semantic_training(
                 p = os.path.join(
                     wdir, "model", prefix + os.path.basename(model_name)
                 )
-                save_checkpoint(p, {"params": bp, "batch_stats": bbs})
+                save_ckpt(p, {"params": bp, "batch_stats": bbs})
                 log_fn(f"Re-saved {p} with recalibrated BN statistics")
 
         if use_wandb:

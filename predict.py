@@ -153,8 +153,12 @@ def main(argv=None):
         )
 
         out_headers = list(dict.fromkeys(headers + ['n_z', 'label', 'pwood']))
-        save_file(odir, pc.copy(), additional_fields=out_headers, verbose=False)
-        print(f'Saved {odir}')
+        import jax as _jax  # multi-host: one writer per (shared) filesystem
+
+        if _jax.process_index() == 0:
+            save_file(odir, pc.copy(), additional_fields=out_headers,
+                      verbose=False)
+            print(f'Saved {odir}')
 
         if args.verbose:
             rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6

@@ -80,9 +80,12 @@ def main(argv=None):
         0, args.num_epochs + 1, max(int(args.num_epochs / args.checkpoint_saves), 1)
     )
 
-    # zip + clear old checkpoints (reference train.py:90-94)
+    # zip + clear old checkpoints (reference train.py:90-94); multi-host:
+    # only process 0 touches the (typically shared) filesystem
+    import jax as _jax
+
     old = glob.glob(os.path.join(args.wdir, 'checkpoints/*.ckpt'))
-    if old:
+    if old and _jax.process_index() == 0:
         shutil.make_archive(
             os.path.join(args.wdir, 'checkpoints_backup'), 'zip',
             os.path.join(args.wdir, 'checkpoints'),
