@@ -83,6 +83,11 @@ class PredictConfig:
     # Compute dtype for the forward pass. The reference infers under AMP
     # (fp16); bf16 is the TPU-native equivalent.
     dtype: str = "bfloat16"
+    # Fusion neighbor search: 'auto' uses the tile-local TPU kNN
+    # (predict/tpu_fusion.py) whenever the tile map supports it, else the
+    # exact host grid search; 'host'/'tpu' force a path. The host path is
+    # the reference-exact global search (predicter.py:136-137).
+    fusion: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,27 +42,41 @@ class Tile:
 
     points: np.ndarray  # (n, 4) predict / (n, 5) train
     grid_size: float
+    # packed cell id within its grid scale (-1 = unknown, e.g. tiles read
+    # back from disk); lets the TPU fusion path map original points back
+    # to the tile that classified them
+    cell_id: int = -1
 
     def __len__(self):
         return self.points.shape[0]
 
 
-def _split_by_cell(feats: np.ndarray, size: float) -> List[np.ndarray]:
-    """Index groups of points per occupied (size^D) voxel cell.
-
-    ``feats`` is (N, D): 3 columns for spatial tiling, or the full feature
-    tensor in reference-parity mode (torch_cluster's voxel_grid broadcasts a
-    scalar size over every input dimension)."""
+def cell_ids_for(feats: np.ndarray, size: float) -> np.ndarray:
+    """Packed voxel cell id per point (deterministic in the cloud: origin
+    and extents come from the cloud itself, so recomputing on the same
+    cloud reproduces the ids tiles were built from)."""
     origin = feats.min(axis=0)
     cells = np.floor((feats - origin) / size).astype(np.int64)
     extent = cells.max(axis=0) + 1
     ids = cells[:, 0]
     for d in range(1, cells.shape[1]):
         ids = ids * extent[d] + cells[:, d]
+    return ids
+
+
+def _split_by_cell(feats: np.ndarray, size: float):
+    """(cell_id, point-index array) per occupied (size^D) voxel cell.
+
+    ``feats`` is (N, D): 3 columns for spatial tiling, or the full feature
+    tensor in reference-parity mode (torch_cluster's voxel_grid broadcasts a
+    scalar size over every input dimension)."""
+    ids = cell_ids_for(feats, size)
     order = np.argsort(ids, kind="stable")
     sorted_ids = ids[order]
     boundaries = np.flatnonzero(np.diff(sorted_ids)) + 1
-    return np.split(order, boundaries)
+    groups = np.split(order, boundaries)
+    group_ids = sorted_ids[np.concatenate([[0], boundaries])]
+    return list(zip(group_ids.tolist(), groups))
 
 
 def preprocess_cloud(
@@ -116,7 +130,7 @@ def preprocess_cloud(
 
     tiles: List[Tile] = []
     for size in config.grid_size:
-        for cell_idx in _split_by_cell(cluster_arr, float(size)):
+        for cid, cell_idx in _split_by_cell(cluster_arr, float(size)):
             if cell_idx.shape[0] < config.min_pts:
                 continue
             if cell_idx.shape[0] > config.max_pts:
@@ -133,7 +147,8 @@ def preprocess_cloud(
             tile = tile[~np.isnan(tile).any(axis=1)]
             if tile.shape[0] == 0:
                 continue
-            tiles.append(Tile(points=tile, grid_size=float(size)))
+            tiles.append(Tile(points=tile, grid_size=float(size),
+                              cell_id=int(cid)))
 
     if vxdir is not None:
         os.makedirs(vxdir, exist_ok=True)

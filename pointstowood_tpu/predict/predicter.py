@@ -158,11 +158,20 @@ def semantic_segmentation(
     )
     t0 = time.perf_counter()
 
-    # Prefetch the fusion neighbor indices in a worker thread (skipped when
-    # the reference-parity nbrs.npy cache exists, predicter.py:131-134).
+    # Prefetch the fusion neighbor indices (skipped when the
+    # reference-parity nbrs.npy cache exists, predicter.py:131-134).
+    # 'tpu' mode: per-tile kNN on the chip (see predict/tpu_fusion.py) —
+    # the host grid search scales with CPU cores, the TPU path with chips.
+    # 'host' mode: exact global search in a worker thread, overlapping the
+    # model phase. 'auto' picks tpu whenever the tile map supports it.
     index_future = None
     executor = None
+    use_tpu_fusion = False
     if not os.path.exists("nbrs.npy"):
+        from pointstowood_tpu.predict.tpu_fusion import (
+            K_PER_SCALE, fusion_indices,
+        )
+
         order = TileBatcher(
             tiles, batch_size=predict_cfg.batch_size,
             min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
@@ -173,9 +182,21 @@ def semantic_segmentation(
         query_xyz = pc[["x", "y", "z"]].to_numpy()
         k = 64 if predict_cfg.any_wood == 1 else 32
         k = min(k, source_xyz.shape[0])
+        n_scales = len({t.grid_size for t in tiles})
+        mode = getattr(predict_cfg, "fusion", "auto")
+        use_tpu_fusion = mode == "tpu" or (
+            mode == "auto"
+            and not getattr(tiling_cfg, "cluster_features", False)
+            and tiling_cfg.min_pts >= K_PER_SCALE
+            and k <= K_PER_SCALE * n_scales
+            and all(t.cell_id >= 0 for t in tiles)
+        )
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
-        index_future = executor.submit(knn_indices, source_xyz, query_xyz, k)
-        # compile the fusion median/vote kernel concurrently too: all its
+        if not use_tpu_fusion:
+            index_future = executor.submit(
+                knn_indices, source_xyz, query_xyz, k
+            )
+        # compile the fusion median/vote kernel concurrently: all its
         # shapes are known before any probability exists
         executor.submit(
             warm_fuse, source_xyz.shape[0], len(pc), k,
@@ -197,14 +218,22 @@ def semantic_segmentation(
         )
         print("Spatially aggregating prediction probabilities and labels...")
     indices = None
-    if index_future is not None:
-        assert index_future.result().shape[0] == len(pc)
+    if use_tpu_fusion:
+        indices = fusion_indices(
+            tiles, order, source_xyz, query_xyz, k, tiling_cfg.min_pts,
+            verbose=verbose,
+        )
+    elif index_future is not None:
         indices = index_future.result()
+        assert indices.shape[0] == len(pc)
+    if executor is not None:
         executor.shutdown()
     fusion = Fusion(predict_cfg.is_wood, predict_cfg.any_wood)
     out = fusion.collect_predictions(classified, pc, indices=indices)
     if verbose:
         t2 = time.perf_counter()
+        how = ("tile-local TPU kNN" if use_tpu_fusion
+               else "kNN index overlapped with the model phase")
         print(f"fusion phase: {t2 - t1:.2f}s for {len(pc)} original points "
-              f"(kNN index overlapped with the model phase)")
+              f"({how})")
     return out

@@ -62,6 +62,12 @@ def parse_args(argv=None):
                         help='exact fp32 neighbor search (parity mode; the '
                              'default Pallas fast mode is ~70x faster at '
                              '~0.97 neighbor recall)')
+    parser.add_argument('--fusion', default='auto',
+                        choices=['auto', 'host', 'tpu'],
+                        help='fusion neighbor search: tile-local TPU kNN '
+                             '(scales with chips) or the exact host grid '
+                             'search (reference semantics, scales with '
+                             'CPU cores); auto picks tpu when supported')
     parser.add_argument('--profile', type=str, default=None,
                         help='write a jax.profiler trace of the model phase '
                              'to this directory')
@@ -123,6 +129,7 @@ def main(argv=None):
     predict_cfg = PredictConfig(
         batch_size=args.batch_size, is_wood=getattr(args, 'is_wood'),
         any_wood=getattr(args, 'any_wood'), output_fmt=args.output_fmt,
+        fusion=args.fusion,
     )
 
     variables = load_checkpoint(resolve_model_path(args.model))

@@ -120,3 +120,35 @@ def test_run_inference_with_mesh_matches_single_device(rng):
                             mesh=mesh)
     assert single.shape == sharded.shape
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+def test_put_sharded_multihost_slicing(monkeypatch):
+    """Multi-host placement logic without multi-host hardware: each
+    process must hand JAX exactly the global-batch rows its own devices
+    own (process-contiguous device order), and fetch must all-gather
+    non-replicated arrays."""
+    from pointstowood_tpu.parallel import mesh as pmesh
+
+    mesh = data_mesh(8)
+    sharding = batch_sharding(mesh)
+    captured = {}
+
+    def fake_make(shard, local, global_shape):
+        captured["local"] = np.asarray(local)
+        captured["global_shape"] = global_shape
+        return jnp.asarray(local)
+
+    monkeypatch.setattr(pmesh.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(pmesh.jax, "process_index", lambda: 1)
+    monkeypatch.setattr(
+        pmesh.jax, "make_array_from_process_local_data", fake_make
+    )
+    batch = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    (out,) = pmesh.put_sharded(sharding, batch)
+    # process 1 of 2 owns the second half of the global batch
+    np.testing.assert_array_equal(captured["local"], batch[4:])
+    assert captured["global_shape"] == (8, 3)
+
+    # fetch: replicated arrays pass through even when process_count > 1
+    repl = jax.device_put(jnp.ones((4,)), replicated(mesh))
+    np.testing.assert_array_equal(pmesh.fetch(repl), np.ones((4,)))

@@ -1,0 +1,98 @@
+"""Tile-local TPU fusion kNN vs the exact host search."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pointstowood_tpu.config import (
+    ModelConfig, PredictConfig, TilingConfig,
+)
+from pointstowood_tpu.data.dataset import TileBatcher
+from pointstowood_tpu.data.tiling import preprocess_cloud
+from pointstowood_tpu.io.loader import canonicalize_columns
+from pointstowood_tpu.predict.fusion import fuse_labels, knn_indices
+from pointstowood_tpu.predict.tpu_fusion import fusion_indices, tile_knn_indices
+
+
+def _cloud(n=6000, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, 2 * np.pi, n // 3)
+    r = rng.uniform(0, 0.2, n // 3)
+    trunk = np.stack(
+        [3 + r * np.cos(theta), 3 + r * np.sin(theta),
+         rng.uniform(0, 5, n // 3)], 1,
+    )
+    crown = np.stack(
+        [3 + rng.normal(0, 1.2, n - n // 3), 3 + rng.normal(0, 1.2, n - n // 3),
+         4 + rng.normal(0, 0.8, n - n // 3)], 1,
+    )
+    xyz = np.concatenate([trunk, crown])
+    return pd.DataFrame({
+        "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+        "reflectance": rng.normal(size=n),
+    })
+
+
+@pytest.fixture(scope="module")
+def tiled_cloud():
+    df = _cloud()
+    df, _, _ = canonicalize_columns(df, mode="predict")
+    cfg = TilingConfig(grid_size=(2.0, 4.0), min_pts=64, max_pts=4096)
+    tiles = preprocess_cloud(df, cfg)
+    order = TileBatcher(
+        tiles, batch_size=4, min_pts=cfg.min_pts, max_pts=cfg.max_pts
+    ).tile_order()
+    classified_xyz = np.concatenate(
+        [tiles[t].points[:, :3] for t in order]
+    )
+    query_xyz = df[["x", "y", "z"]].to_numpy()
+    return tiles, order, classified_xyz, query_xyz, cfg
+
+
+def test_tile_knn_covers_and_indexes_correctly(tiled_cloud):
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    idx, d2, covered = tile_knn_indices(tiles, order, query_xyz, cfg.min_pts)
+    assert idx.shape == (len(query_xyz), 64)  # 32 per scale, 2 scales
+    assert covered.mean() > 0.9  # min_pts drops only sparse fringe cells
+    # returned distances match the actual classified positions
+    rows = np.flatnonzero(covered)[:200]
+    sel = classified_xyz[idx[rows]]  # (r, 64, 3)
+    d2_check = ((sel - query_xyz[rows][:, None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2[rows], d2_check, rtol=1e-4, atol=1e-5)
+
+
+def test_fusion_indices_agree_with_host_search(tiled_cloud):
+    """Labels fused from tile-local neighbors match the exact global host
+    search almost everywhere (border effects only)."""
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    rng = np.random.default_rng(1)
+    m = classified_xyz.shape[0]
+    # synthetic probabilities correlated with position (wood near trunk)
+    prob = 1 / (1 + np.exp(
+        (np.linalg.norm(classified_xyz[:, :2] - 3.0, axis=1) - 0.4) * 4
+    ))
+    classified = np.concatenate(
+        [classified_xyz, (prob >= 0.5)[:, None], prob[:, None]], axis=1
+    )
+    for k in (64, 32):
+        tpu_idx = fusion_indices(
+            tiles, order, classified_xyz, query_xyz, k, cfg.min_pts
+        )
+        host_idx = knn_indices(classified_xyz, query_xyz, k)
+        out_tpu = fuse_labels(classified, query_xyz, 0.5,
+                              1.0 if k == 64 else 2.0, indices=tpu_idx)
+        out_host = fuse_labels(classified, query_xyz, 0.5,
+                               1.0 if k == 64 else 2.0, indices=host_idx)
+        agree = (out_tpu[:, 0] == out_host[:, 0]).mean()
+        assert agree > 0.98, f"k={k}: label agreement {agree}"
+        assert np.abs(out_tpu[:, 1] - out_host[:, 1]).mean() < 0.02
+
+
+def test_fusion_indices_host_fallback_when_unsupported(tiled_cloud):
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    # min_pts below 32 -> the tile map cannot guarantee 32 candidates;
+    # the function must fall back to the exact host search
+    idx = fusion_indices(tiles, order, classified_xyz, query_xyz, 64,
+                         min_pts=8)
+    host = knn_indices(classified_xyz, query_xyz, 64)
+    np.testing.assert_array_equal(np.sort(idx, 1), np.sort(host, 1))
