@@ -136,25 +136,29 @@ class Fusion:
 
     def collect_predictions(self, classification: np.ndarray,
                             original: pd.DataFrame,
-                            indices: np.ndarray | None = None) -> pd.DataFrame:
+                            indices: np.ndarray | None = None,
+                            fused: np.ndarray | None = None) -> pd.DataFrame:
         """``indices``: optional precomputed (N, k) neighbor indices of the
         original points into the classified rows — the predict engine
         builds them concurrently with the model phase (classified
-        positions are known before the model runs)."""
+        positions are known before the model runs). ``fused``: optional
+        precomputed (N, 2) [label, pwood] (the on-device fusion path
+        computes median/vote inside the neighbor-search dispatch)."""
         original = original.drop(
             columns=[c for c in original.columns if c in ("label", "pwood", "pleaf")]
         )
-        # nbrs.npy cache next to the CWD, as the reference honors
-        # (predicter.py:131-134)
-        if indices is None and os.path.exists("nbrs.npy"):
-            indices = np.load("nbrs.npy")
-        labels = fuse_labels(
-            classification,
-            original[["x", "y", "z"]].to_numpy(),
-            self.is_wood,
-            self.any_wood,
-            indices=indices,
-        )
-        original.loc[:, "label"] = labels[:, 0]
-        original.loc[:, "pwood"] = labels[:, 1]
+        if fused is None:
+            # nbrs.npy cache next to the CWD, as the reference honors
+            # (predicter.py:131-134)
+            if indices is None and os.path.exists("nbrs.npy"):
+                indices = np.load("nbrs.npy")
+            fused = fuse_labels(
+                classification,
+                original[["x", "y", "z"]].to_numpy(),
+                self.is_wood,
+                self.any_wood,
+                indices=indices,
+            )
+        original.loc[:, "label"] = fused[:, 0]
+        original.loc[:, "pwood"] = fused[:, 1]
         return original

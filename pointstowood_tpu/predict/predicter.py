@@ -218,18 +218,31 @@ def semantic_segmentation(
         )
         print("Spatially aggregating prediction probabilities and labels...")
     indices = None
+    fused = None
     if use_tpu_fusion:
-        indices = fusion_indices(
-            tiles, order, source_xyz, query_xyz, k, tiling_cfg.min_pts,
-            verbose=verbose,
+        from pointstowood_tpu.predict.tpu_fusion import fuse_on_device
+
+        # preferred: the fully device-side path (kNN + median/vote in one
+        # dispatch, nothing but (Q, 2) read back); the index-based TPU
+        # path covers the configurations it declines
+        fused = fuse_on_device(
+            tiles, order, classified[:, -1].astype(np.float32), query_xyz,
+            predict_cfg.is_wood, predict_cfg.any_wood, tiling_cfg.min_pts,
+            tiling_cfg.max_pts, verbose=verbose,
         )
+        if fused is None:
+            indices = fusion_indices(
+                tiles, order, source_xyz, query_xyz, k, tiling_cfg.min_pts,
+                verbose=verbose,
+            )
     elif index_future is not None:
         indices = index_future.result()
         assert indices.shape[0] == len(pc)
     if executor is not None:
         executor.shutdown()
     fusion = Fusion(predict_cfg.is_wood, predict_cfg.any_wood)
-    out = fusion.collect_predictions(classified, pc, indices=indices)
+    out = fusion.collect_predictions(classified, pc, indices=indices,
+                                     fused=fused)
     if verbose:
         t2 = time.perf_counter()
         how = ("tile-local TPU kNN" if use_tpu_fusion

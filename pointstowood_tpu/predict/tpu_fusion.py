@@ -213,6 +213,186 @@ def tile_knn_indices(
     return idx_out, d2_out, any_valid
 
 
+@functools.partial(jax.jit, static_argnames=("k_out", "any_wood_is_one"))
+def _fused_pair_knn(q, qmask, sf, smf, pf, sc, smc, pc_, is_wood, any_wood,
+                    k_out, any_wood_is_one):
+    """kNN against a (fine, coarse) tile pair AND the median/vote fusion in
+    one dispatch: only (Q, 2) [label, pwood] per sample ever leaves the
+    device. Semantics of fusion._fuse_chunk (reference predicter.py:113-127)
+    over the 32+32 per-scale candidates."""
+
+    def per(qq, qm, s1, sm1, p1, s2, sm2, p2):
+        i1, d1, _ = knn_masked(qq, s1, k=K_PER_SCALE, query_mask=qm,
+                               source_mask=sm1, method="fast",
+                               with_dist=True)
+        i2, d2_, _ = knn_masked(qq, s2, k=K_PER_SCALE, query_mask=qm,
+                                source_mask=sm2, method="fast",
+                                with_dist=True)
+        p = jnp.concatenate([p1[i1], p2[i2]], axis=1)  # (Q, 64)
+        if k_out < 2 * K_PER_SCALE:
+            d = jnp.concatenate([d1, d2_], axis=1)
+            _, sel = jax.lax.top_k(-d, k_out)
+            p = jnp.take_along_axis(p, sel, axis=1)
+        c = (p >= is_wood).astype(p.dtype)
+        pwood = jnp.median(p, axis=1)
+        if any_wood_is_one:
+            vote1 = jnp.sum(jnp.where(c == 1, p, 0.0), axis=1)
+            vote0 = jnp.sum(jnp.where(c == 0, p, 0.0), axis=1)
+            label = (vote1 > vote0).astype(jnp.float32)
+        else:
+            label = jnp.any(c > any_wood, axis=1).astype(jnp.float32)
+        return label, pwood
+
+    return jax.vmap(per)(q, qmask, sf, smf, pf, sc, smc, pc_)
+
+
+def fuse_on_device(
+    tiles: Sequence[Tile],
+    order: Sequence[int],
+    probs: np.ndarray,
+    query_xyz: np.ndarray,
+    is_wood: float,
+    any_wood: float,
+    min_pts: int,
+    max_pts: int,
+    verbose: bool = False,
+):
+    """Fully device-side fusion for the dual-scale configs: per (fine,
+    coarse) tile pair, one dispatch runs both per-scale kNNs, gathers the
+    candidate probabilities from the pair's own probability vectors, and
+    reduces median + vote — no neighbor-index matrix is ever read back
+    (the index readback dominated the index-based path's wall time on
+    narrow host links).
+
+    probs: (M,) classified wood probabilities in batcher order.
+    Returns (N, 2) [label, pwood], or None when this path does not apply
+    (callers then use fusion_indices / the host search).
+    """
+    scales = sorted({t.grid_size for t in tiles})
+    k_out = 64 if any_wood == 1 else 32
+    if (len(scales) != 2 or min_pts < K_PER_SCALE
+            or any(t.cell_id < 0 for t in tiles)):
+        return None
+
+    n_q = query_xyz.shape[0]
+    xyz32 = query_xyz.astype(np.float32)
+    offsets = np.zeros(len(tiles), np.int64)
+    off = 0
+    for j in order:
+        offsets[j] = off
+        off += len(tiles[j])
+
+    # per-query tile at each scale (-1 = uncovered)
+    tile_of = np.full((n_q, 2), -1, np.int64)
+    for si, scale in enumerate(scales):
+        by_cell = {
+            tiles[t].cell_id: t
+            for t in range(len(tiles)) if tiles[t].grid_size == scale
+        }
+        ids = cell_ids_for(xyz32, float(scale))
+        known = np.fromiter(by_cell.keys(), np.int64, len(by_cell))
+        tidx = np.fromiter(by_cell.values(), np.int64, len(by_cell))
+        so = np.argsort(known)
+        known, tidx = known[so], tidx[so]
+        pos = np.clip(np.searchsorted(known, ids), 0, len(known) - 1)
+        hit = (known[pos] == ids) if len(known) else np.zeros(n_q, bool)
+        tile_of[:, si] = np.where(hit, tidx[pos], -1)
+
+    both = (tile_of >= 0).all(axis=1)
+    single = (tile_of >= 0).any(axis=1) & ~both
+    if k_out == 64:
+        # duplicated per-scale candidates keep median and vote ratios
+        # identical, so single-coverage rows just use their tile twice
+        fv = np.where(tile_of[:, 0] >= 0, tile_of[:, 0], tile_of[:, 1])
+        pair_f = np.where(both, tile_of[:, 0], fv)
+        pair_c = np.where(both, tile_of[:, 1], fv)
+        usable = both | single
+    else:
+        # k=32: a duplicated tile would double-count in the top-32 merge
+        pair_f, pair_c = tile_of[:, 0], tile_of[:, 1]
+        usable = both
+
+    cap = _next_cap(max_pts)
+    out = np.zeros((n_q, 2), np.float64)
+    done = np.zeros(n_q, bool)
+
+    keys = pair_f * (len(tiles) + 1) + pair_c
+    qorder = np.argsort(np.where(usable, keys, -1), kind="stable")
+    qsorted = qorder[usable[qorder]]
+    bounds = np.flatnonzero(np.diff(keys[qsorted])) + 1
+    pairs = []
+    for grp in np.split(qsorted, bounds):
+        if grp.size == 0:
+            continue
+        tf, tc = int(pair_f[grp[0]]), int(pair_c[grp[0]])
+        for s0 in range(0, grp.size, QCHUNK):
+            pairs.append((tf, tc, grp[s0 : s0 + QCHUNK]))
+
+    inflight = []
+    for g0 in range(0, len(pairs), GROUP):
+        batch = pairs[g0 : g0 + GROUP]
+        while len(batch) < GROUP:
+            batch = batch + [batch[-1][:2] + (np.zeros(0, np.int64),)]
+        q = np.zeros((GROUP, QCHUNK, 3), np.float32)
+        qm = np.zeros((GROUP, QCHUNK), bool)
+        sf = np.zeros((GROUP, cap, 3), np.float32)
+        smf = np.zeros((GROUP, cap), bool)
+        pfv = np.zeros((GROUP, cap), np.float32)
+        sc = np.zeros((GROUP, cap, 3), np.float32)
+        smc = np.zeros((GROUP, cap), bool)
+        pcv = np.zeros((GROUP, cap), np.float32)
+        for bi, (tf, tc, qs) in enumerate(batch):
+            q[bi, : qs.size] = xyz32[qs]
+            qm[bi, : qs.size] = True
+            for (t, s_, sm_, pv_) in ((tf, sf, smf, pfv), (tc, sc, smc, pcv)):
+                pts = tiles[t].points
+                s_[bi, : len(pts)] = pts[:, :3]
+                sm_[bi, : len(pts)] = True
+                pv_[bi, : len(pts)] = probs[offsets[t] : offsets[t] + len(pts)]
+        res = _fused_pair_knn(
+            jnp.asarray(q), jnp.asarray(qm), jnp.asarray(sf),
+            jnp.asarray(smf), jnp.asarray(pfv), jnp.asarray(sc),
+            jnp.asarray(smc), jnp.asarray(pcv), jnp.float32(is_wood),
+            jnp.float32(any_wood), k_out, any_wood == 1,
+        )
+        inflight.append((batch, res))
+    for batch, (label, pwood) in inflight:
+        label = np.asarray(label)
+        pwood = np.asarray(pwood)
+        for bi, (tf, tc, qs) in enumerate(batch):
+            if qs.size == 0:
+                continue
+            out[qs, 0] = label[bi, : qs.size]
+            out[qs, 1] = pwood[bi, : qs.size]
+            done[qs] = True
+
+    n_fb = int((~done).sum())
+    if n_fb:
+        if verbose:
+            print(f"fusion: host fallback for {n_fb} uncovered points")
+        from pointstowood_tpu.predict.fusion import fuse_labels
+
+        classified_xyz = np.concatenate(
+            [tiles[t].points[:, :3] for t in order]
+        )
+        classified = np.concatenate(
+            [classified_xyz, np.zeros((len(probs), 1)), probs[:, None]],
+            axis=1,
+        )
+        rows = np.flatnonzero(~done)
+        from scipy.spatial import cKDTree
+
+        _, fb_idx = cKDTree(classified_xyz).query(
+            xyz32[rows], k=min(k_out, len(probs)), workers=-1
+        )
+        if fb_idx.ndim == 1:
+            fb_idx = fb_idx[:, None]
+        out[rows] = fuse_labels(
+            classified, query_xyz[rows], is_wood, any_wood, indices=fb_idx
+        )
+    return out
+
+
 def fusion_indices(
     tiles: Sequence[Tile],
     order: Sequence[int],

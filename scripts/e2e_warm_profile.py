@@ -76,17 +76,23 @@ def main():
                         max_pts=tiling_cfg.max_pts).tile_order()
     source_xyz = np.concatenate([tiles[t].points[:, :3] for t in order])
     query_xyz = pc[["x", "y", "z"]].to_numpy()
+    from pointstowood_tpu.predict.tpu_fusion import fuse_on_device
+
     t4 = time.perf_counter()
-    idx = fusion_indices(tiles, order, source_xyz, query_xyz, 64,
-                         tiling_cfg.min_pts, verbose=True)
+    fused = fuse_on_device(
+        tiles, order, classified[:, -1].astype(np.float32), query_xyz,
+        0.5, 1.0, tiling_cfg.min_pts, tiling_cfg.max_pts, verbose=True,
+    )
     t5 = time.perf_counter()
-    print(f"tpu fusion indices (warm): {t5 - t4:.2f}s")
+    print(f"on-device fusion (warm): {t5 - t4:.2f}s "
+          f"(wood frac {fused[:, 0].mean():.3f})")
 
     t6 = time.perf_counter()
-    out = fuse_labels(classified, query_xyz, 0.5, 1.0, indices=idx)
+    out = semantic_segmentation(pc, tiles, variables, model_cfg,
+                                predict_cfg, tiling_cfg, mesh=mesh)
     t7 = time.perf_counter()
-    print(f"median/vote fuse: {t7 - t6:.2f}s")
-    print(f"warm total (model+idx+fuse): {(t3-t2)+(t5-t4)+(t7-t6):.2f}s")
+    print(f"engine warm e2e (semantic_segmentation): {t7 - t6:.2f}s "
+          f"({len(pc) / (t7 - t6):,.0f} pts/s)")
 
 
 if __name__ == "__main__":

@@ -88,6 +88,38 @@ def test_fusion_indices_agree_with_host_search(tiled_cloud):
         assert np.abs(out_tpu[:, 1] - out_host[:, 1]).mean() < 0.02
 
 
+def test_fuse_on_device_matches_host_fusion(tiled_cloud):
+    """The fully device-side path (kNN + median/vote in one dispatch)
+    agrees with the exact host-search fusion."""
+    from pointstowood_tpu.predict.tpu_fusion import fuse_on_device
+
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    prob = 1 / (1 + np.exp(
+        (np.linalg.norm(classified_xyz[:, :2] - 3.0, axis=1) - 0.4) * 4
+    )).astype(np.float64)
+    classified = np.concatenate(
+        [classified_xyz, (prob >= 0.5)[:, None], prob[:, None]], axis=1
+    )
+    for any_wood, k in ((1.0, 64), (2.0, 32)):
+        fused = fuse_on_device(
+            tiles, order, prob.astype(np.float32), query_xyz, 0.5, any_wood,
+            cfg.min_pts, cfg.max_pts,
+        )
+        assert fused is not None and fused.shape == (len(query_xyz), 2)
+        host_idx = knn_indices(classified_xyz, query_xyz, k)
+        out_host = fuse_labels(classified, query_xyz, 0.5, any_wood,
+                               indices=host_idx)
+        agree = (fused[:, 0] == out_host[:, 0]).mean()
+        assert agree > 0.98, f"any_wood={any_wood}: agreement {agree}"
+        assert np.abs(fused[:, 1] - out_host[:, 1]).mean() < 0.02
+    # single-scale tiling: path declines (index/host paths take over)
+    single = [t for t in tiles if t.grid_size == 2.0]
+    assert fuse_on_device(
+        single, list(range(len(single))), prob[: sum(len(t) for t in single)]
+        .astype(np.float32), query_xyz, 0.5, 1.0, cfg.min_pts, cfg.max_pts,
+    ) is None
+
+
 def test_fusion_indices_host_fallback_when_unsupported(tiled_cloud):
     tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
     # min_pts below 32 -> the tile map cannot guarantee 32 candidates;
