@@ -35,7 +35,7 @@ agreement vs the exact host fusion is pinned in tests/test_tpu_fusion.py).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax

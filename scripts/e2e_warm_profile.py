@@ -26,8 +26,6 @@ def main():
     from pointstowood_tpu.predict.predicter import (
         build_net, run_inference, semantic_segmentation,
     )
-    from pointstowood_tpu.predict.fusion import fuse_labels
-    from pointstowood_tpu.predict.tpu_fusion import fusion_indices
 
     _, variables = bench.forward_benchmark()
 
