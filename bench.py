@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Benchmark: steady-state forward throughput + end-to-end plot inference.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout, ALWAYS — every failure path is caught and
+still emits the line (rc 0) with whatever was measured plus a diagnostic
+field. Progress streams to stderr so a watching driver sees liveness.
 
   {"metric": "inference_points_per_sec", "value": N, "unit": "points/s",
    "vs_baseline": R, ... }
@@ -11,6 +13,16 @@ reference's canonical config (max_pts=16384 tiles, batch_size=8,
 reference README.md:73) — with honest device sync (block_until_ready is a
 no-op on this environment's tunneled backend; sync = host readback of a
 reduced scalar).
+
+Robustness (round-3 hardening after BENCH_r02 died on a transient TPU
+FAILED_PRECONDITION at the first warmup readback):
+  * per-readback retry, then whole-attempt retry with a backend reset
+    (clear_caches + clear_backends reconnects the tunneled client);
+  * kNN fallback ladder fast -> approx -> CPU backend so a number always
+    lands;
+  * a hard wall-clock budget (BENCH_TIME_BUDGET, default 540 s) enforced
+    with SIGALRM — on expiry the JSON line is emitted with everything
+    measured so far instead of the driver's timeout recording nothing.
 
 vs_baseline: ratio against MEASURED_TORCH_CPU_PPS — the reference network
 forward *measured* in plain torch on this host's CPU via
@@ -22,11 +34,15 @@ Extra fields: an END-TO-END plot-scale run (synthetic multi-tree plot,
 PLY -> preprocess -> dual-grid tiled inference -> kNN fusion -> labeled
 PLY) reported as e2e_points_per_sec / e2e_seconds — the metric the
 pipeline actually delivers to users, compile time and host phases
-included. Set BENCH_E2E_POINTS to resize (default 1_000_000; 0 skips).
+included. Set BENCH_E2E_POINTS to resize (default 1_000_000; 0 skips);
+the run is skipped or downsized automatically when the time budget is
+nearly spent, without losing the forward number.
 """
 
 import json
 import os
+import signal
+import sys
 import tempfile
 import time
 
@@ -45,6 +61,47 @@ N = 16384
 WARMUP = 2
 ITERS = 8
 
+T0 = time.monotonic()
+TIME_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", 540))
+
+
+def elapsed():
+    return time.monotonic() - T0
+
+
+def remaining():
+    return TIME_BUDGET - elapsed()
+
+
+def log(msg):
+    print(f"[bench +{elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+class BenchTimeout(Exception):
+    """Raised by the SIGALRM handler when the wall-clock budget expires."""
+
+
+def _alarm_handler(signum, frame):
+    raise BenchTimeout(f"time budget {TIME_BUDGET:.0f}s expired")
+
+
+def _reset_backend():
+    """Tear down the (possibly wedged) PJRT client; next use reconnects."""
+    import jax
+
+    log("resetting JAX backend (clear_caches + clear_backends)")
+    try:
+        jax.clear_caches()
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        log(f"  clear_caches failed: {e!r}")
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception as e:  # noqa: BLE001
+        log(f"  clear_backends failed: {e!r}")
+    time.sleep(3.0)
+
 
 def tree_points(rng, n, trunk_frac=0.25, height=2.0):
     n_wood = int(n * trunk_frac)
@@ -61,7 +118,7 @@ def tree_points(rng, n, trunk_frac=0.25, height=2.0):
     return np.concatenate([trunk, crown]).astype(np.float32), refl.astype(np.float32)
 
 
-def forward_benchmark():
+def _forward_once(knn_method, batch=BATCH, n=N, warmup=WARMUP, iters=ITERS):
     import functools
 
     import jax
@@ -71,18 +128,19 @@ def forward_benchmark():
 
     rng = np.random.default_rng(141190)
     pts = []
-    for _ in range(BATCH):
-        xyz, _ = tree_points(rng, N)
+    for _ in range(batch):
+        xyz, _ = tree_points(rng, n)
         pts.append(xyz)
     pos = np.stack(pts)
     pos -= pos.mean(axis=1, keepdims=True)
-    refl = rng.normal(size=(BATCH, N)).astype(np.float32)
-    mask = np.ones((BATCH, N), bool)
+    refl = rng.normal(size=(batch, n)).astype(np.float32)
+    mask = np.ones((batch, n), bool)
     sf = np.linalg.norm(pos, axis=2).max(axis=1).astype(np.float32)
 
-    net = Net(dtype=jnp.bfloat16)
+    net = Net(dtype=jnp.bfloat16, knn_method=knn_method)
     pos_j, refl_j = jnp.asarray(pos), jnp.asarray(refl)
     mask_j, sf_j = jnp.asarray(mask), jnp.asarray(sf)
+    log(f"  init+compile (knn_method={knn_method}, batch={batch}, n={n}) ...")
     variables = jax.jit(functools.partial(net.init, training=False))(
         {"params": jax.random.key(0)}, pos_j, refl_j, mask_j, sf_j
     )
@@ -95,15 +153,69 @@ def forward_benchmark():
     # NOTE: block_until_ready is a no-op on this environment's tunneled TPU
     # backend; a host readback of a reduced scalar is the only true sync.
     reduce = jax.jit(lambda p: p.sum())
-    for _ in range(WARMUP):
-        np.asarray(reduce(forward(variables, pos_j, refl_j, mask_j, sf_j)))
+
+    for w in range(warmup):
+        # Per-readback retry: a transient device error poisons only this
+        # dispatch's result; re-dispatching often succeeds without a full
+        # backend reset (the BENCH_r02 failure mode).
+        for attempt in range(3):
+            try:
+                np.asarray(reduce(forward(variables, pos_j, refl_j, mask_j, sf_j)))
+                break
+            except BenchTimeout:
+                raise
+            except Exception as e:  # noqa: BLE001
+                log(f"  warmup {w} readback failed "
+                    f"(attempt {attempt + 1}/3): {type(e).__name__}: {e}")
+                if attempt == 2:
+                    raise
+                time.sleep(2.0)
+        log(f"  warmup {w + 1}/{warmup} done")
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         probs = forward(variables, pos_j, refl_j, mask_j, sf_j)
     np.asarray(reduce(probs))  # true device sync
-    elapsed = time.perf_counter() - t0
-    return BATCH * N * ITERS / elapsed, variables
+    dt = time.perf_counter() - t0
+    pps = batch * n * iters / dt
+    log(f"  timed {iters} iters in {dt:.3f}s -> {pps:,.0f} points/s")
+    return pps, variables
+
+
+def forward_benchmark():
+    """Fallback ladder: fast kNN (x2, backend reset between), approx kNN
+    (x2), then a CPU-backend measurement so a number ALWAYS lands."""
+    last_err = None
+    for i, method in enumerate(["fast", "fast", "approx", "approx"]):
+        if remaining() < 60:
+            log("forward: skipping further attempts, budget nearly spent")
+            break
+        try:
+            log(f"forward attempt {i + 1}: knn_method={method}")
+            pps, variables = _forward_once(method)
+            return pps, variables, method
+        except BenchTimeout:
+            raise
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            log(f"forward attempt {i + 1} failed: {type(e).__name__}: {e}")
+            _reset_backend()
+
+    # Last resort: host CPU so the driver still records a real measurement.
+    log("forward: falling back to CPU backend (degraded measurement)")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _reset_backend()
+    try:
+        pps, variables = _forward_once("approx", batch=1, warmup=1, iters=1)
+        return pps, variables, "cpu_fallback"
+    except BenchTimeout:
+        raise
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            f"all forward paths failed; last TPU error: {last_err!r}"
+        ) from e
 
 
 def e2e_benchmark(variables, n_points):
@@ -135,6 +247,7 @@ def e2e_benchmark(variables, n_points):
     df = pd.DataFrame(
         {"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2], "scalar_Refl": refl}
     )
+    log(f"e2e: synthesized {len(df):,}-pt plot ({n_trees} trees)")
 
     with tempfile.TemporaryDirectory() as td:
         in_ply = os.path.join(td, "plot.ply")
@@ -147,12 +260,14 @@ def e2e_benchmark(variables, n_points):
         tiling_cfg = TilingConfig()
         tiles = preprocess_cloud(pc, tiling_cfg)
         t1 = time.perf_counter()
+        log(f"e2e: preprocess -> {len(tiles)} tiles in {t1 - t0:.1f}s")
         mesh = data_mesh()
         pc = semantic_segmentation(
             pc, tiles, variables, ModelConfig(), PredictConfig(),
             tiling_cfg, mesh=mesh,
         )
         t2 = time.perf_counter()
+        log(f"e2e: cold model+fusion in {t2 - t1:.1f}s")
         out_headers = list(dict.fromkeys(headers + ["n_z", "label", "pwood"]))
         save_file(out_ply, pc, additional_fields=out_headers)
         t3 = time.perf_counter()
@@ -164,6 +279,7 @@ def e2e_benchmark(variables, n_points):
             tiling_cfg, mesh=mesh,
         )
         t4 = time.perf_counter()
+        log(f"e2e: warm pass in {t4 - t3:.1f}s")
     return {
         "e2e_points": int(len(df)),
         "e2e_tiles": len(tiles),
@@ -180,23 +296,62 @@ def e2e_benchmark(variables, n_points):
 
 
 def main():
-    from pointstowood_tpu.utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache()  # no-op where the backend disables it
-    pts_per_sec, variables = forward_benchmark()
     result = {
         "metric": "inference_points_per_sec",
-        "value": round(pts_per_sec, 1),
+        "value": 0.0,
         "unit": "points/s",
-        "vs_baseline": round(pts_per_sec / MEASURED_TORCH_CPU_PPS, 3),
+        "vs_baseline": 0.0,
         "baseline": "measured torch-CPU reference forward "
                     "(scripts/measure_torch_reference.py)",
-        "vs_estimate_rtx6000": round(pts_per_sec / ESTIMATED_RTX6000_PPS, 3),
     }
-    e2e_points = int(os.environ.get("BENCH_E2E_POINTS", 1_000_000))
-    if e2e_points:
-        result.update(e2e_benchmark(variables, e2e_points))
-    print(json.dumps(result))
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _alarm_handler)
+        signal.alarm(max(int(TIME_BUDGET), 1))
+    try:
+        from pointstowood_tpu.utils.compile_cache import enable_compile_cache
+
+        cache_dir = enable_compile_cache()  # no-op where disabled
+        log(f"compile cache: {cache_dir or 'disabled'}; "
+            f"time budget {TIME_BUDGET:.0f}s")
+
+        pts_per_sec, variables, method = forward_benchmark()
+        result.update(
+            value=round(pts_per_sec, 1),
+            vs_baseline=round(pts_per_sec / MEASURED_TORCH_CPU_PPS, 3),
+            vs_estimate_rtx6000=round(pts_per_sec / ESTIMATED_RTX6000_PPS, 3),
+            knn_method=method,
+        )
+
+        e2e_points = int(os.environ.get("BENCH_E2E_POINTS", 1_000_000))
+        if e2e_points and method != "cpu_fallback":
+            if remaining() < 120:
+                log("e2e: skipped (time budget nearly spent)")
+                result["e2e_skipped"] = "time budget"
+            else:
+                if remaining() < 300 and e2e_points > 250_000:
+                    log(f"e2e: downsizing {e2e_points:,} -> 250,000 points "
+                        f"({remaining():.0f}s left)")
+                    e2e_points = 250_000
+                    result["e2e_downsized"] = True
+                try:
+                    result.update(e2e_benchmark(variables, e2e_points))
+                except BenchTimeout:
+                    log("e2e: aborted by time budget; forward number kept")
+                    result["e2e_skipped"] = "timeout mid-run"
+                except Exception as e:  # noqa: BLE001
+                    log(f"e2e failed: {type(e).__name__}: {e}")
+                    result["e2e_error"] = f"{type(e).__name__}: {e}"
+    except BenchTimeout as e:
+        log(f"TIMEOUT: {e}")
+        result["timeout"] = str(e)
+    except Exception as e:  # noqa: BLE001
+        log(f"FATAL: {type(e).__name__}: {e}")
+        result["error"] = f"{type(e).__name__}: {e}"
+    finally:
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
+        result["bench_seconds"] = round(elapsed(), 1)
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -159,15 +159,35 @@ def preprocess_cloud(
         start = len(glob.glob(os.path.join(vxdir, "voxel_*.npy")))
         for i, t in enumerate(tiles):
             np.save(os.path.join(vxdir, f"voxel_{start + i}.npy"), t.points)
+            # sidecar keeps grid_size/cell_id so cached-tile flows retain
+            # the TPU fusion path and scale grouping (a bare points array
+            # reloads with grid_size=0/cell_id=-1, silently disqualifying
+            # both)
+            np.save(
+                os.path.join(vxdir, f"voxel_{start + i}.meta.npy"),
+                np.array(
+                    [(t.grid_size, t.cell_id)],
+                    dtype=[("grid_size", "f8"), ("cell_id", "i8")],
+                ),
+            )
     return tiles
 
 
 def load_tiles(vxdir: str) -> List[Tile]:
-    """Read tiles cached by ``preprocess_cloud(vxdir=...)``."""
+    """Read tiles cached by ``preprocess_cloud(vxdir=...)``, restoring
+    grid_size/cell_id from the ``.meta.npy`` sidecars when present (tiles
+    cached by older versions load with the unknown-metadata defaults)."""
     tiles = []
     for f in sorted(
-        glob.glob(os.path.join(vxdir, "voxel_*.npy")),
+        glob.glob(os.path.join(vxdir, "voxel_*[0-9].npy")),
         key=lambda p: int(os.path.splitext(os.path.basename(p))[0].split("_")[1]),
     ):
-        tiles.append(Tile(points=np.load(f), grid_size=0.0))
+        grid_size, cell_id = 0.0, -1
+        meta = f[: -len(".npy")] + ".meta.npy"
+        if os.path.exists(meta):
+            m = np.load(meta)
+            grid_size = float(m["grid_size"][0])
+            cell_id = int(m["cell_id"][0])
+        tiles.append(Tile(points=np.load(f), grid_size=grid_size,
+                          cell_id=cell_id))
     return tiles

@@ -133,9 +133,11 @@ def _fast_knn(q, s, smask, k, recall_target, query_block, with_dist):
     n = s.shape[0]
     n_q = q.shape[0]
     if k == 2 and pallas_knn.top2_supported(n):
-        # FP-interpolation case: the kernel reduces the EXACT top-2 in
-        # VMEM — no stage-2 selection op at all (and full recall, unlike
-        # the grouped path).
+        # FP-interpolation case: the kernel reduces the top-2 in VMEM —
+        # no stage-2 selection op at all. Nearest is exact; the runner-up
+        # is approximate: ~1/TOP2_GROUPS (~0.4%) of queries pick the
+        # 3rd-nearest when the true top-2 collide in one folded group
+        # column (see pallas_knn.top2's docstring).
         penalty = jnp.sum(s * s, axis=1) + jnp.where(smask, 0.0, _INF)
         pad = (-n_q) % pallas_knn.TOP2_QUERY_BLOCK
         q_p = _pad_to(q, n_q + pad)

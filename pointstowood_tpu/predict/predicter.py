@@ -167,9 +167,11 @@ def semantic_segmentation(
     index_future = None
     executor = None
     use_tpu_fusion = False
+    cluster_features = getattr(tiling_cfg, "cluster_features", False)
+    will_fuse_on_device = False
     if not os.path.exists("nbrs.npy"):
         from pointstowood_tpu.predict.tpu_fusion import (
-            K_PER_SCALE, fusion_indices,
+            K_PER_SCALE, fusion_indices, warm_fuse_on_device,
         )
 
         order = TileBatcher(
@@ -186,9 +188,16 @@ def semantic_segmentation(
         mode = getattr(predict_cfg, "fusion", "auto")
         use_tpu_fusion = mode == "tpu" or (
             mode == "auto"
-            and not getattr(tiling_cfg, "cluster_features", False)
+            and not cluster_features
             and tiling_cfg.min_pts >= K_PER_SCALE
             and k <= K_PER_SCALE * n_scales
+            and all(t.cell_id >= 0 for t in tiles)
+        )
+        # fuse_on_device's decline conditions are all known up front, so
+        # the right fusion kernel can compile concurrently with the model
+        will_fuse_on_device = (
+            use_tpu_fusion and n_scales == 2 and not cluster_features
+            and tiling_cfg.min_pts >= K_PER_SCALE
             and all(t.cell_id >= 0 for t in tiles)
         )
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
@@ -196,12 +205,19 @@ def semantic_segmentation(
             index_future = executor.submit(
                 knn_indices, source_xyz, query_xyz, k
             )
-        # compile the fusion median/vote kernel concurrently: all its
-        # shapes are known before any probability exists
-        executor.submit(
-            warm_fuse, source_xyz.shape[0], len(pc), k,
-            predict_cfg.is_wood, predict_cfg.any_wood,
-        )
+        # compile the fusion kernel concurrently: all its shapes are known
+        # before any probability exists
+        if will_fuse_on_device:
+            executor.submit(
+                warm_fuse_on_device, source_xyz.shape[0], len(pc),
+                tiling_cfg.max_pts, predict_cfg.is_wood,
+                predict_cfg.any_wood,
+            )
+        else:
+            executor.submit(
+                warm_fuse, source_xyz.shape[0], len(pc), k,
+                predict_cfg.is_wood, predict_cfg.any_wood,
+            )
 
     with ctx:
         classified = run_inference(
@@ -229,11 +245,12 @@ def semantic_segmentation(
             tiles, order, classified[:, -1].astype(np.float32), query_xyz,
             predict_cfg.is_wood, predict_cfg.any_wood, tiling_cfg.min_pts,
             tiling_cfg.max_pts, verbose=verbose,
+            cluster_features=cluster_features,
         )
         if fused is None:
             indices = fusion_indices(
                 tiles, order, source_xyz, query_xyz, k, tiling_cfg.min_pts,
-                verbose=verbose,
+                verbose=verbose, cluster_features=cluster_features,
             )
     elif index_future is not None:
         indices = index_future.result()

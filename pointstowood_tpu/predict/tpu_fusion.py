@@ -21,9 +21,18 @@ candidates per scale:
   duplicated neighborhoods;
 * any_wood!=1 (k=32): the nearest 32 of the 64 by exact distance.
 
-Rows the tile map cannot cover (cells dropped by min_pts at some scale,
-NaN coordinates, single-scale configs) fall back to the exact host
-search — typically a sub-percent remainder.
+DEVICE-RESIDENT LAYOUT (round 3): the classified tile points, their
+probabilities, and the query cloud are shipped to the device ONCE per
+plot as flat arrays; every (fine, coarse) pair dispatch then carries only
+int32 query indices and tile offsets/lengths (~0.5 MB instead of ~10 MB
+of re-packed coordinates). On narrow tunneled hosts the upload was 96% of
+the warm wall-clock; single-shipment removes it.
+
+Rows whose voxel cell has no tile at some scale (dropped by min_pts) are
+assigned the nearest tile of that scale by centroid — their true nearest
+classified points live in an adjacent cell, and the pair kernel's exact
+distances rank those candidates correctly. Every row is therefore fused
+on-device; no host KD-tree fallback exists on this path anymore.
 
 Semantics deviation vs the reference: near tile borders a point's true
 nearest neighbors can live in the adjacent tile; the per-scale-local
@@ -76,12 +85,26 @@ def _next_cap(n: int) -> int:
     return cap
 
 
+def _nearest_rows(queries: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Brute-force nearest row of ``points`` for each query (both small:
+    used for the ~0.1% uncovered rows vs a few thousand tile centroids —
+    no KD-tree build, no scipy)."""
+    out = np.empty(len(queries), np.int64)
+    step = 4096
+    for s in range(0, len(queries), step):
+        q = queries[s : s + step]
+        d2 = ((q[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+        out[s : s + step] = np.argmin(d2, axis=1)
+    return out
+
+
 def tile_knn_indices(
     tiles: Sequence[Tile],
     order: Sequence[int],
     query_xyz: np.ndarray,
     min_pts: int,
     need_d2: bool = True,
+    cluster_features: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-scale tile-local kNN of every query point.
 
@@ -92,10 +115,15 @@ def tile_knn_indices(
     ``need_d2=False`` — only the cross-scale top-k merge needs it, and
     skipping it keeps the d2 matrix off the device readback), covered
     (N,) bool — False rows carry garbage and need the host fallback.
+
+    ``cluster_features`` tilings pack cell ids from the full feature
+    tensor — incomparable with the xyz-only ids recomputed here — so the
+    path declines wholesale (all rows uncovered).
     """
     n_q = query_xyz.shape[0]
     scales = sorted({t.grid_size for t in tiles})
-    if min_pts < K_PER_SCALE or any(t.cell_id < 0 for t in tiles):
+    if (min_pts < K_PER_SCALE or cluster_features
+            or any(t.cell_id < 0 for t in tiles)):
         return (np.zeros((n_q, 0), np.int64), np.zeros((n_q, 0)),
                 np.zeros(n_q, bool))
 
@@ -191,59 +219,118 @@ def tile_knn_indices(
                     )
                 valid_scale[qs, si] = v
 
-    # A row is usable when ANY scale covers it fully: scales that missed
+    # A row is usable when ANY scale covers it fully. Scales that missed
     # it (cell dropped by min_pts) get their slot block copied from the
-    # first covered scale — duplicated neighbors leave the median
-    # unchanged and scale both vote sums equally, so fusion output is
-    # identical to using that scale's block alone. Only rows NO scale
-    # covers need the host fallback.
+    # first covered scale with +inf distances: on the k=64 no-merge path
+    # duplicated neighbors leave median/vote invariant, and on the k=32
+    # merge path the +inf distances make the top-k select exactly the
+    # covered scale's 32 DISTINCT neighbors instead of double-counting 16
+    # duplicated ones. Only rows NO scale covers need the host fallback.
     idx_blocks = idx_out.reshape(n_q, n_scales, K_PER_SCALE)
     any_valid = valid_scale.any(axis=1)
     first_valid = np.argmax(valid_scale, axis=1)
     fill_idx = idx_blocks[np.arange(n_q), first_valid]
-    if need_d2:
-        d2_blocks = d2_out.reshape(n_q, n_scales, K_PER_SCALE)
-        fill_d2 = d2_blocks[np.arange(n_q), first_valid]
     for s_i in range(n_scales):
         need = any_valid & ~valid_scale[:, s_i]
         if need.any():
             idx_blocks[need, s_i] = fill_idx[need]
             if need_d2:
-                d2_blocks[need, s_i] = fill_d2[need]
+                d2_out.reshape(n_q, n_scales, K_PER_SCALE)[need, s_i] = np.inf
     return idx_out, d2_out, any_valid
 
 
-@functools.partial(jax.jit, static_argnames=("k_out", "any_wood_is_one"))
-def _fused_pair_knn(q, qmask, sf, smf, pf, sc, smc, pc_, is_wood, any_wood,
-                    k_out, any_wood_is_one):
+@functools.partial(
+    jax.jit, static_argnames=("k_out", "any_wood_is_one", "cap")
+)
+def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx, q_valid,
+                    off_f, len_f, off_c, len_c, is_wood, any_wood,
+                    k_out, any_wood_is_one, cap):
     """kNN against a (fine, coarse) tile pair AND the median/vote fusion in
-    one dispatch: only (Q, 2) [label, pwood] per sample ever leaves the
-    device. Semantics of fusion._fuse_chunk (reference predicter.py:113-127)
-    over the 32+32 per-scale candidates."""
+    one dispatch, reading tile points / probabilities / query coordinates
+    from DEVICE-RESIDENT flat arrays: only int32 indices and offsets are
+    uploaded per dispatch, and only (Q, 2) [label, pwood] ever comes back.
+    Semantics of fusion._fuse_chunk (reference predicter.py:113-127) over
+    the 32+32 per-scale candidates, with invalid kNN slots (tiles holding
+    fewer than 32 valid points) excluded from the median and the vote.
 
-    def per(qq, qm, s1, sm1, p1, s2, sm2, p2):
-        i1, d1, _ = knn_masked(qq, s1, k=K_PER_SCALE, query_mask=qm,
-                               source_mask=sm1, method="fast",
-                               with_dist=True)
-        i2, d2_, _ = knn_masked(qq, s2, k=K_PER_SCALE, query_mask=qm,
-                                source_mask=sm2, method="fast",
+    flat_xyz/flat_probs are padded with >= cap guard rows so the dynamic
+    tile slices never clamp (clamping would silently misalign the mask).
+    """
+    iota = jnp.arange(cap, dtype=jnp.int32)
+
+    def per(qi, qv, of, lf, oc, lc):
+        qq = qxyz[qi]  # (QCHUNK, 3) resident gather
+
+        def tile_slice(off, ln):
+            s = jax.lax.dynamic_slice(flat_xyz, (off, 0), (cap, 3))
+            p = jax.lax.dynamic_slice(flat_probs, (off,), (cap,))
+            return s, p, iota < ln
+
+        s1, p1v, sm1 = tile_slice(of, lf)
+        s2, p2v, sm2 = tile_slice(oc, lc)
+        i1, d1, v1 = knn_masked(qq, s1, k=K_PER_SCALE, query_mask=qv,
+                                source_mask=sm1, method="fast",
                                 with_dist=True)
-        p = jnp.concatenate([p1[i1], p2[i2]], axis=1)  # (Q, 64)
+        i2, d2_, v2 = knn_masked(qq, s2, k=K_PER_SCALE, query_mask=qv,
+                                 source_mask=sm2, method="fast",
+                                 with_dist=True)
+        p = jnp.concatenate([p1v[i1], p2v[i2]], axis=1)  # (Q, 64)
+        vm = jnp.concatenate([v1, v2], axis=1)
         if k_out < 2 * K_PER_SCALE:
-            d = jnp.concatenate([d1, d2_], axis=1)
+            d = jnp.where(vm, jnp.concatenate([d1, d2_], axis=1), jnp.inf)
             _, sel = jax.lax.top_k(-d, k_out)
             p = jnp.take_along_axis(p, sel, axis=1)
+            vm = jnp.take_along_axis(vm, sel, axis=1)
+        # masked median: sort valid probabilities to the front, average the
+        # two middle ranks of the VALID count (np.median semantics)
+        cnt = vm.sum(axis=1)
+        ps = jnp.sort(jnp.where(vm, p, jnp.inf), axis=1)
+        lo = jnp.clip((cnt - 1) // 2, 0, k_out - 1)
+        hi = jnp.clip(cnt // 2, 0, k_out - 1)
+        med = (
+            jnp.take_along_axis(ps, lo[:, None], axis=1)[:, 0]
+            + jnp.take_along_axis(ps, hi[:, None], axis=1)[:, 0]
+        ) * 0.5
+        pwood = jnp.where(cnt > 0, med, 0.0)
         c = (p >= is_wood).astype(p.dtype)
-        pwood = jnp.median(p, axis=1)
         if any_wood_is_one:
-            vote1 = jnp.sum(jnp.where(c == 1, p, 0.0), axis=1)
-            vote0 = jnp.sum(jnp.where(c == 0, p, 0.0), axis=1)
+            vote1 = jnp.sum(jnp.where(vm & (c == 1), p, 0.0), axis=1)
+            vote0 = jnp.sum(jnp.where(vm & (c == 0), p, 0.0), axis=1)
             label = (vote1 > vote0).astype(jnp.float32)
         else:
-            label = jnp.any(c > any_wood, axis=1).astype(jnp.float32)
+            label = jnp.any(vm & (c > any_wood), axis=1).astype(jnp.float32)
         return label, pwood
 
-    return jax.vmap(per)(q, qmask, sf, smf, pf, sc, smc, pc_)
+    return jax.vmap(per)(q_idx, q_valid, off_f, len_f, off_c, len_c)
+
+
+def _resident_shapes(m: int, n_q: int, max_pts: int):
+    """(cap, padded_m, padded_nq): flat arrays are padded to power-of-two
+    buckets so the pair kernel compiles once per size class (a per-plot
+    shape would recompile 20-60 s per plot on relay-compiled hosts), with
+    >= cap guard rows keeping every dynamic tile slice in-bounds."""
+    cap = _next_cap(max_pts)
+    return cap, _next_cap(m + cap), _next_cap(n_q)
+
+
+def warm_fuse_on_device(m: int, n_q: int, max_pts: int, is_wood: float,
+                        any_wood: float) -> None:
+    """Pre-compile the fused pair kernel for the exact shapes
+    fuse_on_device will use. Every shape is known before the model phase
+    produces a probability (m = total classified rows, n_q = original
+    cloud size), so the predict engine triggers this compile concurrently
+    with the model phase."""
+    cap, mp, nqp = _resident_shapes(m, n_q, max_pts)
+    k_out = 64 if any_wood == 1 else 32
+    zi = jnp.zeros(GROUP, jnp.int32)
+    _fused_pair_knn(
+        jnp.zeros((mp, 3), jnp.float32), jnp.zeros(mp, jnp.float32),
+        jnp.zeros((nqp, 3), jnp.float32),
+        jnp.zeros((GROUP, QCHUNK), jnp.int32),
+        jnp.zeros((GROUP, QCHUNK), bool), zi, zi, zi, zi,
+        jnp.float32(is_wood), jnp.float32(any_wood), k_out, any_wood == 1,
+        cap,
+    )
 
 
 def fuse_on_device(
@@ -256,21 +343,25 @@ def fuse_on_device(
     min_pts: int,
     max_pts: int,
     verbose: bool = False,
+    cluster_features: bool = False,
 ):
     """Fully device-side fusion for the dual-scale configs: per (fine,
     coarse) tile pair, one dispatch runs both per-scale kNNs, gathers the
     candidate probabilities from the pair's own probability vectors, and
-    reduces median + vote — no neighbor-index matrix is ever read back
-    (the index readback dominated the index-based path's wall time on
-    narrow host links).
+    reduces median + vote — no neighbor-index matrix is ever read back.
+    Tile points, probabilities, and the query cloud live on the device in
+    flat resident arrays uploaded once per plot; dispatches carry only
+    int32 metadata.
 
     probs: (M,) classified wood probabilities in batcher order.
     Returns (N, 2) [label, pwood], or None when this path does not apply
-    (callers then use fusion_indices / the host search).
+    (callers then use fusion_indices / the host search). ``cluster_features``
+    tilings are declined: their cell ids are packed from the full feature
+    tensor and are incomparable with the xyz-only ids recomputed here.
     """
     scales = sorted({t.grid_size for t in tiles})
     k_out = 64 if any_wood == 1 else 32
-    if (len(scales) != 2 or min_pts < K_PER_SCALE
+    if (len(scales) != 2 or min_pts < K_PER_SCALE or cluster_features
             or any(t.cell_id < 0 for t in tiles)):
         return None
 
@@ -281,14 +372,19 @@ def fuse_on_device(
     for j in order:
         offsets[j] = off
         off += len(tiles[j])
+    m = off
 
-    # per-query tile at each scale (-1 = uncovered)
+    # per-query tile at each scale; rows whose cell has no tile at a scale
+    # (dropped by min_pts) take the nearest tile OF THAT SCALE by centroid
+    # — their true nearest classified points are in an adjacent cell, and
+    # the pair kernel's exact distances rank those candidates correctly
     tile_of = np.full((n_q, 2), -1, np.int64)
+    n_near = 0
     for si, scale in enumerate(scales):
-        by_cell = {
-            tiles[t].cell_id: t
-            for t in range(len(tiles)) if tiles[t].grid_size == scale
-        }
+        scale_tiles = [
+            t for t in range(len(tiles)) if tiles[t].grid_size == scale
+        ]
+        by_cell = {tiles[t].cell_id: t for t in scale_tiles}
         ids = cell_ids_for(xyz32, float(scale))
         known = np.fromiter(by_cell.keys(), np.int64, len(by_cell))
         tidx = np.fromiter(by_cell.values(), np.int64, len(by_cell))
@@ -297,63 +393,64 @@ def fuse_on_device(
         pos = np.clip(np.searchsorted(known, ids), 0, len(known) - 1)
         hit = (known[pos] == ids) if len(known) else np.zeros(n_q, bool)
         tile_of[:, si] = np.where(hit, tidx[pos], -1)
+        miss = np.flatnonzero(tile_of[:, si] < 0)
+        if miss.size:
+            n_near += miss.size
+            cents = np.stack(
+                [tiles[t].points[:, :3].mean(axis=0) for t in scale_tiles]
+            )
+            nn = _nearest_rows(np.nan_to_num(xyz32[miss]), cents)
+            tile_of[miss, si] = np.asarray(scale_tiles, np.int64)[nn]
+    if verbose and n_near:
+        print(f"fusion: nearest-tile assignment for {n_near} uncovered "
+              f"(query, scale) rows — fused on-device, no host search")
 
-    both = (tile_of >= 0).all(axis=1)
-    single = (tile_of >= 0).any(axis=1) & ~both
-    if k_out == 64:
-        # duplicated per-scale candidates keep median and vote ratios
-        # identical, so single-coverage rows just use their tile twice
-        fv = np.where(tile_of[:, 0] >= 0, tile_of[:, 0], tile_of[:, 1])
-        pair_f = np.where(both, tile_of[:, 0], fv)
-        pair_c = np.where(both, tile_of[:, 1], fv)
-        usable = both | single
-    else:
-        # k=32: a duplicated tile would double-count in the top-32 merge
-        pair_f, pair_c = tile_of[:, 0], tile_of[:, 1]
-        usable = both
+    # resident upload: ONE shipment of tile points + probabilities + queries
+    cap, mp, nqp = _resident_shapes(m, n_q, max_pts)
+    fx = np.zeros((mp, 3), np.float32)
+    fx[:m] = np.concatenate([tiles[t].points[:, :3] for t in order])
+    fp = np.zeros(mp, np.float32)
+    fp[:m] = probs
+    qx = np.zeros((nqp, 3), np.float32)
+    qx[:n_q] = xyz32
+    flat_xyz = jnp.asarray(fx)
+    flat_probs = jnp.asarray(fp)
+    qxyz_dev = jnp.asarray(qx)
 
-    cap = _next_cap(max_pts)
     out = np.zeros((n_q, 2), np.float64)
-    done = np.zeros(n_q, bool)
-
-    keys = pair_f * (len(tiles) + 1) + pair_c
-    qorder = np.argsort(np.where(usable, keys, -1), kind="stable")
-    qsorted = qorder[usable[qorder]]
-    bounds = np.flatnonzero(np.diff(keys[qsorted])) + 1
+    keys = tile_of[:, 0] * (len(tiles) + 1) + tile_of[:, 1]
+    qorder = np.argsort(keys, kind="stable")
+    bounds = np.flatnonzero(np.diff(keys[qorder])) + 1
     pairs = []
-    for grp in np.split(qsorted, bounds):
+    for grp in np.split(qorder, bounds):
         if grp.size == 0:
             continue
-        tf, tc = int(pair_f[grp[0]]), int(pair_c[grp[0]])
+        tf, tc = int(tile_of[grp[0], 0]), int(tile_of[grp[0], 1])
         for s0 in range(0, grp.size, QCHUNK):
             pairs.append((tf, tc, grp[s0 : s0 + QCHUNK]))
 
+    lens = np.array([len(t) for t in tiles], np.int32)
     inflight = []
     for g0 in range(0, len(pairs), GROUP):
         batch = pairs[g0 : g0 + GROUP]
         while len(batch) < GROUP:
             batch = batch + [batch[-1][:2] + (np.zeros(0, np.int64),)]
-        q = np.zeros((GROUP, QCHUNK, 3), np.float32)
-        qm = np.zeros((GROUP, QCHUNK), bool)
-        sf = np.zeros((GROUP, cap, 3), np.float32)
-        smf = np.zeros((GROUP, cap), bool)
-        pfv = np.zeros((GROUP, cap), np.float32)
-        sc = np.zeros((GROUP, cap, 3), np.float32)
-        smc = np.zeros((GROUP, cap), bool)
-        pcv = np.zeros((GROUP, cap), np.float32)
+        q_idx = np.zeros((GROUP, QCHUNK), np.int32)
+        q_valid = np.zeros((GROUP, QCHUNK), bool)
+        off_f = np.zeros(GROUP, np.int32)
+        len_f = np.zeros(GROUP, np.int32)
+        off_c = np.zeros(GROUP, np.int32)
+        len_c = np.zeros(GROUP, np.int32)
         for bi, (tf, tc, qs) in enumerate(batch):
-            q[bi, : qs.size] = xyz32[qs]
-            qm[bi, : qs.size] = True
-            for (t, s_, sm_, pv_) in ((tf, sf, smf, pfv), (tc, sc, smc, pcv)):
-                pts = tiles[t].points
-                s_[bi, : len(pts)] = pts[:, :3]
-                sm_[bi, : len(pts)] = True
-                pv_[bi, : len(pts)] = probs[offsets[t] : offsets[t] + len(pts)]
+            q_idx[bi, : qs.size] = qs
+            q_valid[bi, : qs.size] = True
+            off_f[bi], len_f[bi] = offsets[tf], lens[tf]
+            off_c[bi], len_c[bi] = offsets[tc], lens[tc]
         res = _fused_pair_knn(
-            jnp.asarray(q), jnp.asarray(qm), jnp.asarray(sf),
-            jnp.asarray(smf), jnp.asarray(pfv), jnp.asarray(sc),
-            jnp.asarray(smc), jnp.asarray(pcv), jnp.float32(is_wood),
-            jnp.float32(any_wood), k_out, any_wood == 1,
+            flat_xyz, flat_probs, qxyz_dev, jnp.asarray(q_idx),
+            jnp.asarray(q_valid), jnp.asarray(off_f), jnp.asarray(len_f),
+            jnp.asarray(off_c), jnp.asarray(len_c), jnp.float32(is_wood),
+            jnp.float32(any_wood), k_out, any_wood == 1, cap,
         )
         inflight.append((batch, res))
     for batch, (label, pwood) in inflight:
@@ -364,32 +461,6 @@ def fuse_on_device(
                 continue
             out[qs, 0] = label[bi, : qs.size]
             out[qs, 1] = pwood[bi, : qs.size]
-            done[qs] = True
-
-    n_fb = int((~done).sum())
-    if n_fb:
-        if verbose:
-            print(f"fusion: host fallback for {n_fb} uncovered points")
-        from pointstowood_tpu.predict.fusion import fuse_labels
-
-        classified_xyz = np.concatenate(
-            [tiles[t].points[:, :3] for t in order]
-        )
-        classified = np.concatenate(
-            [classified_xyz, np.zeros((len(probs), 1)), probs[:, None]],
-            axis=1,
-        )
-        rows = np.flatnonzero(~done)
-        from scipy.spatial import cKDTree
-
-        _, fb_idx = cKDTree(classified_xyz).query(
-            xyz32[rows], k=min(k_out, len(probs)), workers=-1
-        )
-        if fb_idx.ndim == 1:
-            fb_idx = fb_idx[:, None]
-        out[rows] = fuse_labels(
-            classified, query_xyz[rows], is_wood, any_wood, indices=fb_idx
-        )
     return out
 
 
@@ -401,6 +472,7 @@ def fusion_indices(
     k: int,
     min_pts: int,
     verbose: bool = False,
+    cluster_features: bool = False,
 ) -> np.ndarray:
     """(N, k) fusion neighbor rows: tile-local TPU kNN for covered rows,
     exact host search for the remainder. ``k`` must be 32 or 64 (the
@@ -408,8 +480,9 @@ def fusion_indices(
     from pointstowood_tpu.predict.fusion import knn_indices
 
     n_scales = len({t.grid_size for t in tiles})
-    if n_scales * K_PER_SCALE < k:
-        # not enough per-scale candidates for this k — host path entirely
+    if n_scales * K_PER_SCALE < k or cluster_features:
+        # not enough per-scale candidates for this k (or incomparable
+        # cluster_features cell ids) — host path entirely
         return knn_indices(classified_xyz, query_xyz, k)
     need_d2 = n_scales * K_PER_SCALE > k
     idx, d2, covered = tile_knn_indices(tiles, order, query_xyz, min_pts,
@@ -418,6 +491,8 @@ def fusion_indices(
         return knn_indices(classified_xyz, query_xyz, k)
     if idx.shape[1] > k:
         # keep the k nearest of the per-scale unions by exact distance
+        # (scale-fill blocks carry +inf, so single-coverage rows select
+        # exactly their covered block)
         part = np.argpartition(d2, k - 1, axis=1)[:, :k]
         idx = np.take_along_axis(idx, part, axis=1)
     out = idx[:, :k]

