@@ -68,6 +68,10 @@ class ModelConfig:
     # MLP/conv activation compute dtype; 'bfloat16' is the TPU analogue of
     # the reference's AMP autocast, 'float32' the exact parity path.
     compute_dtype: str = "bfloat16"
+    # Eval-time voxel representative choice: 'hash' (spatially unbiased
+    # overflow, default) or 'last' (reference consecutive_cluster parity;
+    # see ops/voxel.voxel_representatives).
+    voxel_priority: str = "hash"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,7 @@ def build_net(model_cfg: ModelConfig, knn_chunk: int = 2048) -> Net:
         knn_method=model_cfg.knn_mode,
         knn_recall=model_cfg.knn_recall,
         dtype=jnp.dtype(model_cfg.compute_dtype),
+        voxel_priority=getattr(model_cfg, "voxel_priority", "hash"),
     )
 
 
