@@ -71,7 +71,7 @@ class SAStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos3, refl, mask, sf, training: bool,
-                 use_running_average: bool = False):
+                 use_running_average: bool = False, stem_edge=None):
         b = pos3.shape[0]
         # Gate params exist for checkpoint parity; output is identically 1.
         gate = ReflectanceGate(name="reflectanceyesno")(refl, mask=mask)
@@ -134,8 +134,10 @@ class SAStage(nn.Module):
               radius=radius, use_running_average=use_running_average)
         else:
             x = PointConv(self.nn_channels, name="conv", dtype=self.dtype)(
-                x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
+                None if stem_edge is not None else x,
+                pos4, center_idx, nbr_idx, nbr_valid, center_valid,
                 radius=radius, use_running_average=use_running_average,
+                stem_edge=stem_edge, sf=sf,
             )
         x = InvertedResidualBlock(self.out_features, name="residual_block",
                                   dtype=self.dtype)(
@@ -195,9 +197,10 @@ class Net(nn.Module):
             cap = max(int(cap * f), 1)
             caps.append(cap)
 
-        x0 = RefMLP((3, c), name="stem_mlp", dtype=self.dtype)(
-            pos3, mask=mask, use_running_average=ura
-        )
+        # The stem is BN-free (single Linear+ReLU), so it can be re-applied
+        # per edge inside SA1 (see PointConv's stem_edge) with shared params.
+        stem = RefMLP((3, c), name="stem_mlp", dtype=self.dtype)
+        x0 = stem(pos3, mask=mask, use_running_average=ura)
 
         sa_specs = [
             ((c + 4, c * 2, c * 4), c * 4, True),
@@ -217,7 +220,10 @@ class Net(nn.Module):
                 attention_knn=self.attention_knn,
                 attention_conv=self.attention_conv,
                 name=f"sa{i + 1}_module",
-            )(x, p, r, m, sf, training, use_running_average=ura)
+            )(x, p, r, m, sf, training, use_running_average=ura,
+              stem_edge=(
+                  stem if i == 0 and not self.attention_conv else None
+              ))
             xs.append(x)
             poss.append(p)
             masks.append(m)

@@ -70,7 +70,8 @@ class PointConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
-                 radius=None, use_running_average: bool = False):
+                 radius=None, use_running_average: bool = False,
+                 stem_edge=None, sf=None):
         if x is None:
             src = pos4
         else:
@@ -91,7 +92,24 @@ class PointConv(nn.Module):
         max_dist = jnp.max(jnp.where(nbr_valid, dist, 0.0), axis=-1, keepdims=True)
         geo = (rel / (max_dist[..., None] + 1e-8)).astype(self.dtype)
         refl_j = pos_j[..., 3:4].astype(self.dtype)
-        if x is None:
+        if stem_edge is not None:
+            # Stem-recompute trick (round 3): the stem features are a
+            # per-point function of pos3 alone, and gather commutes with
+            # per-row functions — stem(pos)[j] == stem(pos[j]). Applying
+            # the SHARED stem module to the already-gathered neighbor
+            # positions is numerically equivalent to gathering precomputed
+            # stem features, but the stem's weight gradients now arrive
+            # through the edge matmul (MXU) instead of a 2M-row
+            # scatter-add VJP — measured 28 ms/step on the canonical
+            # train shape, the single largest backward op.
+            # pos4 carries pos3/sf (the conv's scaled frame); the stem was
+            # defined on UNSCALED pos3, so scale back per sample.
+            pos_un = pos_j[..., :3] * sf[:, None, None, None]
+            x_j = stem_edge(
+                pos_un, use_running_average=use_running_average
+            ).astype(self.dtype)
+            msg = jnp.concatenate([x_j, geo, refl_j], axis=-1)
+        elif x is None:
             msg = jnp.concatenate([geo, refl_j], axis=-1)
         else:
             x_j = gathered[..., :-4].astype(self.dtype)   # (B, S, k, C_in)

@@ -49,7 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 QUERY_BLOCK = 128
 _HALVES = 2
-SLOT_BITS = 3  # supports g <= 8
+SLOT_BITS = 4  # supports g <= 16 (<= 15 ulp fp32 ranking noise, still
+# far below the bf16-matmul alternative's 8-bit mantissa)
+# Largest group fold `supported()` will hand out. g=16 halves the stage-2
+# selection matrix vs g=8 but doubles intra-group true-neighbor collision
+# odds — flip here (or monkeypatch in a probe) to A/B recall/latency.
+G_MAX = 8
 
 
 def _make_kernel(g: int, n_groups: int, n: int, precision):
@@ -318,7 +323,7 @@ def unpack_slot(vals: jax.Array) -> jax.Array:
 
 def supported(n: int, k: int) -> int:
     """Largest valid group count for n sources (0 = kernel not usable)."""
-    g = 8
+    g = G_MAX
     while g > 1 and (n % (g * 128) or (n // g) < k):
         g //= 2
     if g <= 1 or n < 2048 or g % _HALVES:
