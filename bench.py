@@ -182,20 +182,45 @@ def _forward_once(knn_method, batch=BATCH, n=N, warmup=WARMUP, iters=ITERS):
     return pps, variables
 
 
+def _arm(seconds):
+    """(Re)arm SIGALRM for a phase, never beyond the global budget."""
+    if hasattr(signal, "SIGALRM"):
+        # idempotent: callers outside main() (e.g. profiling scripts that
+        # import forward_benchmark) need the handler too, or a stale alarm
+        # would kill their process
+        signal.signal(signal.SIGALRM, _alarm_handler)
+        signal.alarm(max(int(min(seconds, remaining())), 1))
+
+
 def forward_benchmark():
     """Fallback ladder: fast kNN (x2, backend reset between), approx kNN
-    (x2), then a CPU-backend measurement so a number ALWAYS lands."""
+    (x2), then a CPU-backend measurement so a number ALWAYS lands.
+
+    Each attempt gets its OWN deadline (a wedged tunnel can hang a single
+    compile indefinitely — observed >9 min on a compile the persistent
+    cache had served in seconds minutes earlier); on expiry the attempt is
+    abandoned, the backend reset, and the next rung tried, instead of one
+    hang eating the whole budget."""
     last_err = None
     for i, method in enumerate(["fast", "fast", "approx", "approx"]):
         if remaining() < 60:
             log("forward: skipping further attempts, budget nearly spent")
             break
+        attempt_budget = max(remaining() - 120, 90) if i == 0 else 150
         try:
-            log(f"forward attempt {i + 1}: knn_method={method}")
+            log(f"forward attempt {i + 1}: knn_method={method} "
+                f"(deadline {attempt_budget:.0f}s)")
+            _arm(attempt_budget)
             pps, variables = _forward_once(method)
+            if hasattr(signal, "SIGALRM"):
+                signal.alarm(0)
             return pps, variables, method
-        except BenchTimeout:
-            raise
+        except BenchTimeout as e:
+            if remaining() < 30:
+                raise
+            last_err = e
+            log(f"forward attempt {i + 1} hit its deadline; resetting")
+            _reset_backend()
         except Exception as e:  # noqa: BLE001
             last_err = e
             log(f"forward attempt {i + 1} failed: {type(e).__name__}: {e}")
@@ -208,6 +233,7 @@ def forward_benchmark():
     jax.config.update("jax_platforms", "cpu")
     _reset_backend()
     try:
+        _arm(remaining() - 10)
         pps, variables = _forward_once("approx", batch=1, warmup=1, iters=1)
         return pps, variables, "cpu_fallback"
     except BenchTimeout:
@@ -315,6 +341,7 @@ def main():
             f"time budget {TIME_BUDGET:.0f}s")
 
         pts_per_sec, variables, method = forward_benchmark()
+        _arm(remaining())  # rest of the budget covers the e2e phase
         result.update(
             value=round(pts_per_sec, 1),
             vs_baseline=round(pts_per_sec / MEASURED_TORCH_CPU_PPS, 3),
