@@ -60,14 +60,23 @@ GROUP = 16  # (query-chunk, tile) pairs per vmapped dispatch: fewer,
 K_PER_SCALE = 32
 
 
-@functools.partial(jax.jit, static_argnames=("k", "need_d2"))
-def _tile_knn(q, s, qmask, smask, k, need_d2):
-    idx, d2, valid = jax.vmap(
-        lambda qq, ss, qm, sm: knn_masked(
-            qq, ss, k=k, query_mask=qm, source_mask=sm, method="fast",
+@functools.partial(jax.jit, static_argnames=("k", "need_d2", "cap"))
+def _tile_knn(flat_xyz, qxyz, q_idx, q_valid, off, ln, k, need_d2, cap):
+    """Per-tile kNN reading tile points and queries from DEVICE-RESIDENT
+    flat arrays (uploaded once per plot); the dispatch carries only int32
+    query indices and tile offsets/lengths."""
+    iota = jnp.arange(cap, dtype=jnp.int32)
+
+    def per(qi, qv, of, lf):
+        qq = qxyz[qi]
+        s = jax.lax.dynamic_slice(flat_xyz, (of, 0), (cap, 3))
+        sm = iota < lf
+        return knn_masked(
+            qq, s, k=k, query_mask=qv, source_mask=sm, method="fast",
             with_dist=need_d2,
         )
-    )(q, s, qmask, smask)
+
+    idx, d2, valid = jax.vmap(per)(q_idx, q_valid, off, ln)
     # per-ROW validity suffices: min_pts >= k guarantees every valid query
     # gets k valid slots, so slots only die wholesale (padded queries).
     # Reducing on device keeps the d2/valid matrices out of the readback —
@@ -86,9 +95,16 @@ def _next_cap(n: int) -> int:
 
 
 def _nearest_rows(queries: np.ndarray, points: np.ndarray) -> np.ndarray:
-    """Brute-force nearest row of ``points`` for each query (both small:
-    used for the ~0.1% uncovered rows vs a few thousand tile centroids —
-    no KD-tree build, no scipy)."""
+    """Nearest row of ``points`` (tile centroids) per query. Typical case:
+    ~0.1% uncovered rows vs a few thousand centroids — chunked numpy
+    brute force, no index build. Degenerate case (most of the plot
+    uncovered, e.g. aggressive min_pts): a KD-tree over the CENTROIDS
+    (thousands of rows, microsecond build — not the all-classified-points
+    tree this path replaced)."""
+    if len(queries) * len(points) > 2e9:
+        from scipy.spatial import cKDTree
+
+        return cKDTree(points).query(queries, k=1, workers=-1)[1]
     out = np.empty(len(queries), np.int64)
     step = 4096
     for s in range(0, len(queries), step):
@@ -142,6 +158,19 @@ def tile_knn_indices(
     )
     valid_scale = np.zeros((n_q, n_scales), bool)
 
+    # resident upload: ONE shipment of tile points + queries; dispatches
+    # then carry only int32 metadata (same design as fuse_on_device)
+    m = int(off)
+    cap_max = _next_cap(max(len(t) for t in tiles))
+    mp = _next_cap(m + cap_max)
+    fx = np.zeros((mp, 3), np.float32)
+    fx[:m] = np.concatenate([tiles[t].points[:, :3] for t in order])
+    qx = np.zeros((_next_cap(n_q), 3), np.float32)
+    qx[:n_q] = xyz32  # NaN rows stay NaN -> invalid -> host fallback
+    flat_xyz = jnp.asarray(fx)
+    qxyz_dev = jnp.asarray(qx)
+    lens = np.array([len(t) for t in tiles], np.int32)
+
     for si, scale in enumerate(scales):
         by_cell = {
             tiles[t].cell_id: t
@@ -181,19 +210,18 @@ def tile_knn_indices(
                 batch = pairs[g0 : g0 + GROUP]
                 while len(batch) < GROUP:  # pad the dispatch group
                     batch = batch + [batch[-1][:1] + (np.zeros(0, np.int64),)]
-                q = np.zeros((GROUP, QCHUNK, 3), np.float32)
-                qm = np.zeros((GROUP, QCHUNK), bool)
-                s = np.zeros((GROUP, cap, 3), np.float32)
-                sm = np.zeros((GROUP, cap), bool)
+                q_idx = np.zeros((GROUP, QCHUNK), np.int32)
+                q_valid = np.zeros((GROUP, QCHUNK), bool)
+                offs = np.zeros(GROUP, np.int32)
+                lns = np.zeros(GROUP, np.int32)
                 for bi, (t, qs) in enumerate(batch):
-                    pts = tiles[t].points
-                    q[bi, : qs.size] = xyz32[qs]
-                    qm[bi, : qs.size] = True
-                    s[bi, : len(pts)] = pts[:, :3]
-                    sm[bi, : len(pts)] = True
+                    q_idx[bi, : qs.size] = qs
+                    q_valid[bi, : qs.size] = True
+                    offs[bi], lns[bi] = offsets[t], lens[t]
                 out = _tile_knn(
-                    jnp.asarray(q), jnp.asarray(s), jnp.asarray(qm),
-                    jnp.asarray(sm), K_PER_SCALE, need_d2,
+                    flat_xyz, qxyz_dev, jnp.asarray(q_idx),
+                    jnp.asarray(q_valid), jnp.asarray(offs),
+                    jnp.asarray(lns), K_PER_SCALE, need_d2, cap,
                 )
                 inflight.append((batch, out))
         for batch, out in inflight:
