@@ -51,17 +51,32 @@ class Tile:
         return self.points.shape[0]
 
 
+NAN_CELL = np.int64(-(2 ** 62))  # sentinel id for non-finite rows
+
+
 def cell_ids_for(feats: np.ndarray, size: float) -> np.ndarray:
     """Packed voxel cell id per point (deterministic in the cloud: origin
     and extents come from the cloud itself, so recomputing on the same
-    cloud reproduces the ids tiles were built from)."""
-    origin = feats.min(axis=0)
-    cells = np.floor((feats - origin) / size).astype(np.int64)
+    cloud reproduces the ids tiles were built from).
+
+    Non-finite rows get the NAN_CELL sentinel instead of poisoning the
+    origin/extents for every other row (one NaN point used to silently
+    degrade the whole plot's tile-coverage lookup)."""
+    finite = np.isfinite(feats).all(axis=1)
+    if finite.all():
+        origin = feats.min(axis=0)
+        clean = feats
+    elif finite.any():
+        origin = feats[finite].min(axis=0)
+        clean = np.where(finite[:, None], feats, origin)
+    else:
+        return np.full(feats.shape[0], NAN_CELL)
+    cells = np.floor((clean - origin) / size).astype(np.int64)
     extent = cells.max(axis=0) + 1
     ids = cells[:, 0]
     for d in range(1, cells.shape[1]):
         ids = ids * extent[d] + cells[:, d]
-    return ids
+    return np.where(finite, ids, NAN_CELL)
 
 
 def _split_by_cell(feats: np.ndarray, size: float):

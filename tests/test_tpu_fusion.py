@@ -119,6 +119,24 @@ def test_fuse_on_device_matches_host_fusion(tiled_cloud):
         agree = (fused[:, 0] == out_host[:, 0]).mean()
         assert agree > 0.98, f"any_wood={any_wood}: agreement {agree}"
         assert np.abs(fused[:, 1] - out_host[:, 1]).mean() < 0.02
+    # NaN query rows must come back inert (label 0, pwood 0), not poison
+    # neighbouring dispatch rows
+    qn = query_xyz.copy()
+    qn[7] = np.nan
+    fused_nan = fuse_on_device(
+        tiles, order, prob.astype(np.float32), qn, 0.5, 1.0,
+        cfg.min_pts, cfg.max_pts,
+    )
+    assert fused_nan is not None
+    assert fused_nan[7, 0] == 0.0 and fused_nan[7, 1] == 0.0
+    ok = np.ones(len(qn), bool)
+    ok[7] = False
+    prev = fuse_on_device(
+        tiles, order, prob.astype(np.float32), query_xyz, 0.5, 1.0,
+        cfg.min_pts, cfg.max_pts,
+    )
+    assert np.array_equal(fused_nan[ok], prev[ok])
+
     # single-scale tiling: path declines (index/host paths take over)
     single = [t for t in tiles if t.grid_size == 2.0]
     assert fuse_on_device(
