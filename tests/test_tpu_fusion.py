@@ -68,6 +68,29 @@ def test_tile_knn_covers_and_indexes_correctly(tiled_cloud):
     )
 
 
+def test_warm_fuse_on_device_precompiles_exact_shapes(tiled_cloud):
+    """The concurrent warm-up must hit the very (shape, static-arg) key
+    fuse_on_device later uses — shape drift would silently move the
+    compile back onto the post-model critical path."""
+    from pointstowood_tpu.predict.tpu_fusion import (
+        _fused_pair_knn, fuse_on_device, warm_fuse_on_device,
+    )
+
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    prob = np.linspace(0, 1, classified_xyz.shape[0]).astype(np.float32)
+    warm_fuse_on_device(
+        classified_xyz.shape[0], len(query_xyz), cfg.max_pts, 0.5, 1.0
+    )
+    warmed = _fused_pair_knn._cache_size()
+    assert warmed >= 1
+    fused = fuse_on_device(
+        tiles, order, prob, query_xyz, 0.5, 1.0, cfg.min_pts, cfg.max_pts
+    )
+    assert fused is not None
+    assert _fused_pair_knn._cache_size() == warmed, (
+        "fuse_on_device compiled a shape the warm-up did not cover")
+
+
 def test_fusion_indices_agree_with_host_search(tiled_cloud):
     """Labels fused from tile-local neighbors match the exact global host
     search almost everywhere (border effects only)."""
