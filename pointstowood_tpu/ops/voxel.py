@@ -123,24 +123,29 @@ def voxel_representatives(ids: jax.Array, capacity: int,
         return jnp.where(valid, idx, 0).astype(jnp.int32), valid
 
     prio = _mix_bits(jnp.arange(n, dtype=jnp.int32))
-    # distinct int32 rank per point in hash order (no 64-bit keys on TPU)
-    by_prio = jnp.argsort(prio)
-    rank = jnp.zeros(n, jnp.int32).at[by_prio].set(
-        jnp.arange(n, dtype=jnp.int32)
+    # ONE lexicographic (cell id, hash) sort via lax.sort's multi-key mode
+    # (vs the previous two chained argsorts). The hash VALUE is the
+    # priority: it orders points identically to a rank in hash order
+    # (monotone; ties broken by index in both formulations since the sort
+    # is stable), so the per-cell representative and the overflow-kept
+    # subset are bit-identical to the two-sort version.
+    sorted_ids, sorted_prio, order = jax.lax.sort(
+        (ids, prio, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2, is_stable=True,
     )
-    # lexicographic (cell id, hash rank) via two stable sorts
-    ids_m = ids[by_prio]
-    order = by_prio[jnp.argsort(ids_m, stable=True)]
-    sorted_ids = ids[order]
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
     is_rep = is_first & (sorted_ids != PAD_CELL)
-    # Compact representatives, overflow dropping by hash rank.
-    key = jnp.where(is_rep, rank[order], jnp.int32(n))
-    kept = jnp.argsort(key)[:capacity]
-    valid = key[kept] < n
-    idx = order[kept]
+    # Compact representatives, overflow dropping by hash priority. uint32
+    # hash values sort reps ahead of the all-ones sentinel; ties among
+    # equal hashes keep the stable (cell-id order) position.
+    key = jnp.where(is_rep, sorted_prio, jnp.uint32(0xFFFFFFFF))
+    key2, kept_idx = jax.lax.sort(
+        (key, order), num_keys=1, is_stable=True
+    )
+    valid = key2[:capacity] != jnp.uint32(0xFFFFFFFF)
+    idx = kept_idx[:capacity]
     return jnp.where(valid, idx, 0).astype(jnp.int32), valid
 
 
