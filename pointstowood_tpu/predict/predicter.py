@@ -170,9 +170,10 @@ def semantic_segmentation(
     use_tpu_fusion = False
     cluster_features = getattr(tiling_cfg, "cluster_features", False)
     will_fuse_on_device = False
+    plan_future = None
     if not os.path.exists("nbrs.npy"):
         from pointstowood_tpu.predict.tpu_fusion import (
-            K_PER_SCALE, fusion_indices, warm_fuse_on_device,
+            K_PER_SCALE, fusion_indices, plan_fusion, warm_fuse_on_device,
         )
 
         order = TileBatcher(
@@ -206,14 +207,21 @@ def semantic_segmentation(
             index_future = executor.submit(
                 knn_indices, source_xyz, query_xyz, k
             )
-        # compile the fusion kernel concurrently: all its shapes are known
-        # before any probability exists
+        # build the dispatch plan AND compile the fusion kernel variants
+        # concurrently: all shapes are known before any probability exists
         if will_fuse_on_device:
-            executor.submit(
-                warm_fuse_on_device, source_xyz.shape[0], len(pc),
-                tiling_cfg.max_pts, predict_cfg.is_wood,
-                predict_cfg.any_wood,
-            )
+            def _plan_and_warm():
+                plan = plan_fusion(
+                    tiles, order, query_xyz, tiling_cfg.min_pts,
+                    tiling_cfg.max_pts, cluster_features=cluster_features,
+                )
+                if plan is not None:
+                    warm_fuse_on_device(
+                        plan, predict_cfg.is_wood, predict_cfg.any_wood
+                    )
+                return plan
+
+            plan_future = executor.submit(_plan_and_warm)
         else:
             executor.submit(
                 warm_fuse, source_xyz.shape[0], len(pc), k,
@@ -242,11 +250,12 @@ def semantic_segmentation(
         # preferred: the fully device-side path (kNN + median/vote in one
         # dispatch, nothing but (Q, 2) read back); the index-based TPU
         # path covers the configurations it declines
+        plan = plan_future.result() if plan_future is not None else None
         fused = fuse_on_device(
             tiles, order, classified[:, -1].astype(np.float32), query_xyz,
             predict_cfg.is_wood, predict_cfg.any_wood, tiling_cfg.min_pts,
             tiling_cfg.max_pts, verbose=verbose,
-            cluster_features=cluster_features,
+            cluster_features=cluster_features, plan=plan,
         )
         if fused is None:
             indices = fusion_indices(

@@ -53,11 +53,22 @@ import jax.numpy as jnp
 from pointstowood_tpu.data.tiling import Tile, cell_ids_for
 from pointstowood_tpu.ops.knn import knn_masked
 
-QCHUNK = 8192  # queries per kNN block
+QCHUNK = 8192  # queries per kNN block (index-based path)
 GROUP = 16  # (query-chunk, tile) pairs per vmapped dispatch: fewer,
 # bigger round trips — per-dispatch latency through a tunneled backend
 # outweighs the larger transfer
 K_PER_SCALE = 32
+# fused pair-kernel dispatch shape: smaller query chunks keep padding
+# waste low (most (fine, coarse) pair groups hold far fewer than 8192
+# queries), and the per-pair capacity buckets keep the kNN matrices at
+# the size of the actual tiles instead of one global max_pts cap
+PAIR_QCHUNK = 2048
+PAIR_GROUP = 16
+# stage-2 recall target for the fusion kNNs: the median/vote over >= 32
+# probability-duplicated candidates is insensitive to single swapped
+# neighbors, so fusion buys latency with a looser target than the model
+# kNN (label agreement vs exact host fusion is pinned in tests)
+FUSION_RECALL = 0.9
 
 
 @functools.partial(jax.jit, static_argnames=("k", "need_d2", "cap"))
@@ -268,47 +279,49 @@ def tile_knn_indices(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_out", "any_wood_is_one", "cap")
+    jax.jit, static_argnames=("k_out", "any_wood_is_one", "cap_f", "cap_c")
 )
 def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx, q_valid,
                     off_f, len_f, off_c, len_c, is_wood, any_wood,
-                    k_out, any_wood_is_one, cap):
+                    k_out, any_wood_is_one, cap_f, cap_c):
     """kNN against a (fine, coarse) tile pair AND the median/vote fusion in
     one dispatch, reading tile points / probabilities / query coordinates
     from DEVICE-RESIDENT flat arrays: only int32 indices and offsets are
     uploaded per dispatch, and only (Q, 2) [label, pwood] ever comes back.
-    Semantics of fusion._fuse_chunk (reference predicter.py:113-127) over
-    the 32+32 per-scale candidates, with invalid kNN slots (tiles holding
-    fewer than 32 valid points) excluded from the median and the vote.
 
-    flat_xyz/flat_probs are padded with >= cap guard rows so the dynamic
-    tile slices never clamp (clamping would silently misalign the mask).
+    ONE kNN over the fine+coarse UNION (each physical point appears once
+    per scale, with that scale's probability) selects the k_out nearest
+    duplicated candidates — exactly the reference's global search
+    semantics (predicter.py:136-137) restricted to the pair's points, for
+    BOTH k settings, with no cross-scale merge stage. Invalid slots
+    (queries padded, tiles holding fewer than k valid points) are
+    excluded from the median and the vote.
+
+    cap_f/cap_c are per-dispatch static capacities (power-of-two bucket of
+    the actual tile sizes — a single global max_pts cap wastes up to 8x
+    kNN compute on small tiles). flat_xyz/flat_probs carry >= max(cap)
+    guard rows so the dynamic tile slices never clamp (clamping would
+    silently misalign the mask).
     """
-    iota = jnp.arange(cap, dtype=jnp.int32)
+    iota_f = jnp.arange(cap_f, dtype=jnp.int32)
+    iota_c = jnp.arange(cap_c, dtype=jnp.int32)
 
     def per(qi, qv, of, lf, oc, lc):
-        qq = qxyz[qi]  # (QCHUNK, 3) resident gather
-
-        def tile_slice(off, ln):
-            s = jax.lax.dynamic_slice(flat_xyz, (off, 0), (cap, 3))
-            p = jax.lax.dynamic_slice(flat_probs, (off,), (cap,))
-            return s, p, iota < ln
-
-        s1, p1v, sm1 = tile_slice(of, lf)
-        s2, p2v, sm2 = tile_slice(oc, lc)
-        i1, d1, v1 = knn_masked(qq, s1, k=K_PER_SCALE, query_mask=qv,
-                                source_mask=sm1, method="fast",
-                                with_dist=True)
-        i2, d2_, v2 = knn_masked(qq, s2, k=K_PER_SCALE, query_mask=qv,
-                                 source_mask=sm2, method="fast",
-                                 with_dist=True)
-        p = jnp.concatenate([p1v[i1], p2v[i2]], axis=1)  # (Q, 64)
-        vm = jnp.concatenate([v1, v2], axis=1)
-        if k_out < 2 * K_PER_SCALE:
-            d = jnp.where(vm, jnp.concatenate([d1, d2_], axis=1), jnp.inf)
-            _, sel = jax.lax.top_k(-d, k_out)
-            p = jnp.take_along_axis(p, sel, axis=1)
-            vm = jnp.take_along_axis(vm, sel, axis=1)
+        qq = qxyz[qi]  # (PAIR_QCHUNK, 3) resident gather
+        s = jnp.concatenate([
+            jax.lax.dynamic_slice(flat_xyz, (of, 0), (cap_f, 3)),
+            jax.lax.dynamic_slice(flat_xyz, (oc, 0), (cap_c, 3)),
+        ])
+        pu = jnp.concatenate([
+            jax.lax.dynamic_slice(flat_probs, (of,), (cap_f,)),
+            jax.lax.dynamic_slice(flat_probs, (oc,), (cap_c,)),
+        ])
+        sm = jnp.concatenate([iota_f < lf, iota_c < lc])
+        i, _, vm = knn_masked(
+            qq, s, k=k_out, query_mask=qv, source_mask=sm, method="fast",
+            recall_target=FUSION_RECALL, with_dist=False,
+        )
+        p = pu[i]  # (Q, k_out)
         # masked median: sort valid probabilities to the front, average the
         # two middle ranks of the VALID count (np.median semantics)
         cnt = vm.sum(axis=1)
@@ -332,63 +345,43 @@ def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx, q_valid,
     return jax.vmap(per)(q_idx, q_valid, off_f, len_f, off_c, len_c)
 
 
-def _resident_shapes(m: int, n_q: int, max_pts: int):
-    """(cap, padded_m, padded_nq): flat arrays are padded to power-of-two
-    buckets so the pair kernel compiles once per size class (a per-plot
-    shape would recompile 20-60 s per plot on relay-compiled hosts), with
-    >= cap guard rows keeping every dynamic tile slice in-bounds."""
-    cap = _next_cap(max_pts)
-    return cap, _next_cap(m + cap), _next_cap(n_q)
-
-
-def warm_fuse_on_device(m: int, n_q: int, max_pts: int, is_wood: float,
-                        any_wood: float) -> None:
-    """Pre-compile the fused pair kernel for the exact shapes
-    fuse_on_device will use. Every shape is known before the model phase
-    produces a probability (m = total classified rows, n_q = original
-    cloud size), so the predict engine triggers this compile concurrently
+class FusionPlan:
+    """Host-side dispatch plan for fuse_on_device. Everything here is
+    known BEFORE the model phase produces a probability (tiles, batcher
+    order and the query cloud fix every shape), so the predict engine
+    builds the plan AND compiles the exact kernel variants concurrently
     with the model phase."""
-    cap, mp, nqp = _resident_shapes(m, n_q, max_pts)
-    k_out = 64 if any_wood == 1 else 32
-    zi = jnp.zeros(GROUP, jnp.int32)
-    _fused_pair_knn(
-        jnp.zeros((mp, 3), jnp.float32), jnp.zeros(mp, jnp.float32),
-        jnp.zeros((nqp, 3), jnp.float32),
-        jnp.zeros((GROUP, QCHUNK), jnp.int32),
-        jnp.zeros((GROUP, QCHUNK), bool), zi, zi, zi, zi,
-        jnp.float32(is_wood), jnp.float32(any_wood), k_out, any_wood == 1,
-        cap,
-    )
+
+    __slots__ = ("offsets", "lens", "m", "n_q", "mp", "nqp", "dispatches",
+                 "combos", "n_near")
+
+    def __init__(self, offsets, lens, m, n_q, mp, nqp, dispatches, combos,
+                 n_near):
+        self.offsets = offsets
+        self.lens = lens
+        self.m = m
+        self.n_q = n_q
+        self.mp = mp          # padded flat tile-array rows (guarded)
+        self.nqp = nqp        # padded query rows
+        self.dispatches = dispatches  # [(cap_f, cap_c, [(tf, tc, qs)..])]
+        self.combos = combos  # sorted {(cap_f, cap_c)} present
+        self.n_near = n_near  # (query, scale) rows on nearest-tile fill
 
 
-def fuse_on_device(
+def plan_fusion(
     tiles: Sequence[Tile],
     order: Sequence[int],
-    probs: np.ndarray,
     query_xyz: np.ndarray,
-    is_wood: float,
-    any_wood: float,
     min_pts: int,
     max_pts: int,
-    verbose: bool = False,
     cluster_features: bool = False,
 ):
-    """Fully device-side fusion for the dual-scale configs: per (fine,
-    coarse) tile pair, one dispatch runs both per-scale kNNs, gathers the
-    candidate probabilities from the pair's own probability vectors, and
-    reduces median + vote — no neighbor-index matrix is ever read back.
-    Tile points, probabilities, and the query cloud live on the device in
-    flat resident arrays uploaded once per plot; dispatches carry only
-    int32 metadata.
-
-    probs: (M,) classified wood probabilities in batcher order.
-    Returns (N, 2) [label, pwood], or None when this path does not apply
+    """Build the FusionPlan (pure host work: cell lookups, pair grouping,
+    capacity bucketing). Returns None when the device path does not apply
     (callers then use fusion_indices / the host search). ``cluster_features``
     tilings are declined: their cell ids are packed from the full feature
-    tensor and are incomparable with the xyz-only ids recomputed here.
-    """
+    tensor and are incomparable with the xyz-only ids recomputed here."""
     scales = sorted({t.grid_size for t in tiles})
-    k_out = 64 if any_wood == 1 else 32
     if (len(scales) != 2 or min_pts < K_PER_SCALE or cluster_features
             or any(t.cell_id < 0 for t in tiles)):
         return None
@@ -400,7 +393,8 @@ def fuse_on_device(
     for j in order:
         offsets[j] = off
         off += len(tiles[j])
-    m = off
+    m = int(off)
+    lens = np.array([len(t) for t in tiles], np.int32)
 
     # per-query tile at each scale; rows whose cell has no tile at a scale
     # (dropped by min_pts) take the nearest tile OF THAT SCALE by centroid
@@ -429,56 +423,125 @@ def fuse_on_device(
             )
             nn = _nearest_rows(np.nan_to_num(xyz32[miss]), cents)
             tile_of[miss, si] = np.asarray(scale_tiles, np.int64)[nn]
-    if verbose and n_near:
-        print(f"fusion: nearest-tile assignment for {n_near} uncovered "
+
+    # group queries by (fine, coarse) pair, chunk, bucket by capacities
+    keys = tile_of[:, 0] * (len(tiles) + 1) + tile_of[:, 1]
+    qorder = np.argsort(keys, kind="stable")
+    bounds = np.flatnonzero(np.diff(keys[qorder])) + 1
+    by_combo = {}  # (cap_f, cap_c) -> [(tf, tc, qs), ...]
+    for grp in np.split(qorder, bounds):
+        if grp.size == 0:
+            continue
+        tf, tc = int(tile_of[grp[0], 0]), int(tile_of[grp[0], 1])
+        combo = (_next_cap(int(lens[tf])), _next_cap(int(lens[tc])))
+        lst = by_combo.setdefault(combo, [])
+        for s0 in range(0, grp.size, PAIR_QCHUNK):
+            lst.append((tf, tc, grp[s0 : s0 + PAIR_QCHUNK]))
+
+    dispatches = []
+    for combo in sorted(by_combo):
+        entries = by_combo[combo]
+        for g0 in range(0, len(entries), PAIR_GROUP):
+            batch = entries[g0 : g0 + PAIR_GROUP]
+            while len(batch) < PAIR_GROUP:  # pad the dispatch group
+                batch = batch + [batch[-1][:2] + (np.zeros(0, np.int64),)]
+            dispatches.append((combo[0], combo[1], batch))
+
+    cap_max = max((max(c) for c in by_combo), default=_next_cap(max_pts))
+    return FusionPlan(
+        offsets, lens, m, n_q, _next_cap(m + cap_max), _next_cap(n_q),
+        dispatches, sorted(by_combo), n_near,
+    )
+
+
+def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
+                        any_wood: float) -> None:
+    """Pre-compile every fused-pair kernel variant the plan will use
+    ((cap_f, cap_c) combos at the plan's resident shapes). The predict
+    engine calls this concurrently with the model phase so no compile
+    lands on the post-model critical path."""
+    k_out = 64 if any_wood == 1 else 32
+    zi = jnp.zeros(PAIR_GROUP, jnp.int32)
+    fx = jnp.zeros((plan.mp, 3), jnp.float32)
+    fp = jnp.zeros(plan.mp, jnp.float32)
+    qx = jnp.zeros((plan.nqp, 3), jnp.float32)
+    qi = jnp.zeros((PAIR_GROUP, PAIR_QCHUNK), jnp.int32)
+    qv = jnp.zeros((PAIR_GROUP, PAIR_QCHUNK), bool)
+    for cap_f, cap_c in plan.combos:
+        _fused_pair_knn(
+            fx, fp, qx, qi, qv, zi, zi, zi, zi,
+            jnp.float32(is_wood), jnp.float32(any_wood), k_out,
+            any_wood == 1, cap_f, cap_c,
+        )
+
+
+def fuse_on_device(
+    tiles: Sequence[Tile],
+    order: Sequence[int],
+    probs: np.ndarray,
+    query_xyz: np.ndarray,
+    is_wood: float,
+    any_wood: float,
+    min_pts: int,
+    max_pts: int,
+    verbose: bool = False,
+    cluster_features: bool = False,
+    plan: FusionPlan | None = None,
+):
+    """Fully device-side fusion for the dual-scale configs: per (fine,
+    coarse) tile pair, one dispatch runs the union kNN, gathers the
+    candidate probabilities from the pair's own probability vectors, and
+    reduces median + vote — no neighbor-index matrix is ever read back.
+    Tile points, probabilities, and the query cloud live on the device in
+    flat resident arrays uploaded once per plot; dispatches carry only
+    int32 metadata.
+
+    probs: (M,) classified wood probabilities in batcher order.
+    Returns (N, 2) [label, pwood], or None when this path does not apply
+    (callers then use fusion_indices / the host search). Pass a pre-built
+    ``plan`` (plan_fusion) to skip the host planning work here.
+    """
+    if plan is None:
+        plan = plan_fusion(tiles, order, query_xyz, min_pts, max_pts,
+                           cluster_features=cluster_features)
+    if plan is None:
+        return None
+    k_out = 64 if any_wood == 1 else 32
+    n_q = plan.n_q
+    if verbose and plan.n_near:
+        print(f"fusion: nearest-tile assignment for {plan.n_near} uncovered "
               f"(query, scale) rows — fused on-device, no host search")
 
     # resident upload: ONE shipment of tile points + probabilities + queries
-    cap, mp, nqp = _resident_shapes(m, n_q, max_pts)
-    fx = np.zeros((mp, 3), np.float32)
-    fx[:m] = np.concatenate([tiles[t].points[:, :3] for t in order])
-    fp = np.zeros(mp, np.float32)
-    fp[:m] = probs
-    qx = np.zeros((nqp, 3), np.float32)
-    qx[:n_q] = xyz32
+    fx = np.zeros((plan.mp, 3), np.float32)
+    fx[: plan.m] = np.concatenate([tiles[t].points[:, :3] for t in order])
+    fp = np.zeros(plan.mp, np.float32)
+    fp[: plan.m] = probs
+    qx = np.zeros((plan.nqp, 3), np.float32)
+    qx[:n_q] = query_xyz.astype(np.float32)  # NaN rows -> invalid -> inert
     flat_xyz = jnp.asarray(fx)
     flat_probs = jnp.asarray(fp)
     qxyz_dev = jnp.asarray(qx)
 
     out = np.zeros((n_q, 2), np.float64)
-    keys = tile_of[:, 0] * (len(tiles) + 1) + tile_of[:, 1]
-    qorder = np.argsort(keys, kind="stable")
-    bounds = np.flatnonzero(np.diff(keys[qorder])) + 1
-    pairs = []
-    for grp in np.split(qorder, bounds):
-        if grp.size == 0:
-            continue
-        tf, tc = int(tile_of[grp[0], 0]), int(tile_of[grp[0], 1])
-        for s0 in range(0, grp.size, QCHUNK):
-            pairs.append((tf, tc, grp[s0 : s0 + QCHUNK]))
-
-    lens = np.array([len(t) for t in tiles], np.int32)
     inflight = []
-    for g0 in range(0, len(pairs), GROUP):
-        batch = pairs[g0 : g0 + GROUP]
-        while len(batch) < GROUP:
-            batch = batch + [batch[-1][:2] + (np.zeros(0, np.int64),)]
-        q_idx = np.zeros((GROUP, QCHUNK), np.int32)
-        q_valid = np.zeros((GROUP, QCHUNK), bool)
-        off_f = np.zeros(GROUP, np.int32)
-        len_f = np.zeros(GROUP, np.int32)
-        off_c = np.zeros(GROUP, np.int32)
-        len_c = np.zeros(GROUP, np.int32)
+    for cap_f, cap_c, batch in plan.dispatches:
+        q_idx = np.zeros((PAIR_GROUP, PAIR_QCHUNK), np.int32)
+        q_valid = np.zeros((PAIR_GROUP, PAIR_QCHUNK), bool)
+        off_f = np.zeros(PAIR_GROUP, np.int32)
+        len_f = np.zeros(PAIR_GROUP, np.int32)
+        off_c = np.zeros(PAIR_GROUP, np.int32)
+        len_c = np.zeros(PAIR_GROUP, np.int32)
         for bi, (tf, tc, qs) in enumerate(batch):
             q_idx[bi, : qs.size] = qs
             q_valid[bi, : qs.size] = True
-            off_f[bi], len_f[bi] = offsets[tf], lens[tf]
-            off_c[bi], len_c[bi] = offsets[tc], lens[tc]
+            off_f[bi], len_f[bi] = plan.offsets[tf], plan.lens[tf]
+            off_c[bi], len_c[bi] = plan.offsets[tc], plan.lens[tc]
         res = _fused_pair_knn(
             flat_xyz, flat_probs, qxyz_dev, jnp.asarray(q_idx),
             jnp.asarray(q_valid), jnp.asarray(off_f), jnp.asarray(len_f),
             jnp.asarray(off_c), jnp.asarray(len_c), jnp.float32(is_wood),
-            jnp.float32(any_wood), k_out, any_wood == 1, cap,
+            jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c,
         )
         inflight.append((batch, res))
     for batch, (label, pwood) in inflight:

@@ -27,7 +27,7 @@ def main():
         build_net, run_inference, semantic_segmentation,
     )
 
-    _, variables = bench.forward_benchmark()
+    _, variables, _ = bench.forward_benchmark()
 
     rng = np.random.default_rng(7)
     pts_per_tree = 25_000

@@ -73,18 +73,19 @@ def test_warm_fuse_on_device_precompiles_exact_shapes(tiled_cloud):
     fuse_on_device later uses — shape drift would silently move the
     compile back onto the post-model critical path."""
     from pointstowood_tpu.predict.tpu_fusion import (
-        _fused_pair_knn, fuse_on_device, warm_fuse_on_device,
+        _fused_pair_knn, fuse_on_device, plan_fusion, warm_fuse_on_device,
     )
 
     tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
     prob = np.linspace(0, 1, classified_xyz.shape[0]).astype(np.float32)
-    warm_fuse_on_device(
-        classified_xyz.shape[0], len(query_xyz), cfg.max_pts, 0.5, 1.0
-    )
+    plan = plan_fusion(tiles, order, query_xyz, cfg.min_pts, cfg.max_pts)
+    assert plan is not None and len(plan.combos) >= 1
+    warm_fuse_on_device(plan, 0.5, 1.0)
     warmed = _fused_pair_knn._cache_size()
-    assert warmed >= 1
+    assert warmed >= len(plan.combos)
     fused = fuse_on_device(
-        tiles, order, prob, query_xyz, 0.5, 1.0, cfg.min_pts, cfg.max_pts
+        tiles, order, prob, query_xyz, 0.5, 1.0, cfg.min_pts, cfg.max_pts,
+        plan=plan,
     )
     assert fused is not None
     assert _fused_pair_knn._cache_size() == warmed, (
