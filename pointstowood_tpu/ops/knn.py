@@ -153,14 +153,13 @@ def _fast_knn(q, s, smask, k, recall_target, query_block, with_dist):
     if not g:
         return _approx_knn(q, s, smask, k, recall_target, query_block,
                            with_dist)
-    n_groups = n // g
     penalty = jnp.sum(s * s, axis=1) + jnp.where(smask, 0.0, _INF)
     pad = (-n_q) % pallas_knn.QUERY_BLOCK
     q_p = _pad_to(q, n_q + pad)
     gmin = pallas_knn.group_min(q_p, s, penalty, g)
     vals, gidx = jax.lax.approx_min_k(gmin, k, recall_target=recall_target)
     slot = pallas_knn.unpack_slot(vals)
-    idx = (slot * jnp.int32(n_groups) + gidx.astype(jnp.int32))[:n_q]
+    idx = pallas_knn.member_index(gidx, slot, n, g)[:n_q]
     vals = vals[:n_q]
     if not with_dist:
         # selection values are pen - 2 q.s (not distances): finite exactly

@@ -32,10 +32,15 @@ Kernel economics (measured on v5e at the SA1 shape, B=8 Q=8192 N=16384):
   gather at all. +inf survives packing exactly: an all-masked group keeps
   slot 0 (inf < inf is false), and inf | 0 == inf.
 
-Grouping: group j holds source indices {a * N/g + j for a < g}
-(stride N/g). Tile arrays are spatially cell-sorted, so index-adjacent
-points are spatial neighbors; the stride puts them in different groups and
-intra-group true-neighbor collisions stay near the random ~1-3% level.
+Grouping: the N axis is processed in VMEM-sized blocks (N_BLOCK, a grid
+dimension — one (QUERY_BLOCK, N) distance tile at N = 32k blows the 16 MB
+scoped-VMEM limit) and groups are BLOCK-LOCAL: within block b, group jj
+holds source indices {b * N_BLOCK + a * N_BLOCK/g + jj for a < g}
+(stride N_BLOCK/g). Tile arrays are spatially cell-sorted, so
+index-adjacent points are spatial neighbors; the stride puts them in
+different groups and intra-group true-neighbor collisions stay near the
+random ~1-3% level. ``member_index`` maps (group, slot) back to the
+source row.
 """
 
 from __future__ import annotations
@@ -55,6 +60,19 @@ SLOT_BITS = 4  # supports g <= 16 (<= 15 ulp fp32 ranking noise, still
 # selection matrix vs g=8 but doubles intra-group true-neighbor collision
 # odds — flip here (or monkeypatch in a probe) to A/B recall/latency.
 G_MAX = 8
+# Sources per grid step. 16384 is the largest measured-safe width for the
+# per-step (QUERY_BLOCK, n_block) fp32 distance tiles inside the ~16 MB
+# scoped-VMEM budget; larger N iterates over blocks with block-local
+# grouping (needed by the fusion pair kernel, whose fine+coarse union
+# reaches 32k sources).
+N_BLOCK_MAX = 16384
+
+
+def _n_block(n: int) -> int:
+    for b in (N_BLOCK_MAX, 8192, 4096, 2048):
+        if n % b == 0 and b <= n:
+            return b
+    return n
 
 
 def _make_kernel(g: int, n_groups: int, n: int, precision):
@@ -146,7 +164,8 @@ def group_min(q: jax.Array, s: jax.Array, penalty: jax.Array, g: int,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
     n = s.shape[0]
-    n_groups = n // g
+    n_block = _n_block(n)
+    npg = n_block // g  # groups per block (block-LOCAL grouping)
     q_n = q.shape[0]
     # Fold the -2 factor into the source operand so the kernel's matmul
     # epilogue is a single add of the penalty row.
@@ -155,25 +174,40 @@ def group_min(q: jax.Array, s: jax.Array, penalty: jax.Array, g: int,
         [(-2.0) * s.T, jnp.ones((1, n), jnp.float32)], axis=0
     )  # (4, N)
     pen = penalty[None, :]
-    grid = (q_n // QUERY_BLOCK,)
+    grid = (q_n // QUERY_BLOCK, n // n_block)
     # Mosaic is TPU-only; the simulated-CPU test platform runs the kernel
     # through the Pallas interpreter (same numerics).
     interpret = jax.devices()[0].platform == "cpu"
     gmin = pl.pallas_call(
-        _make_kernel(g, n_groups, n, prec),
-        out_shape=jax.ShapeDtypeStruct((q_n, n_groups), jnp.float32),
+        _make_kernel(g, npg, n_block, prec),
+        out_shape=jax.ShapeDtypeStruct((q_n, n // g), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((QUERY_BLOCK, 4), lambda i: (i, 0),
+            pl.BlockSpec((QUERY_BLOCK, 4), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((QUERY_BLOCK, n_groups), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((QUERY_BLOCK, npg), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q4, st, pen)
     return gmin
+
+
+def member_index(gidx: jax.Array, slot: jax.Array, n: int, g: int):
+    """Source row for (global group index, member slot) under block-local
+    grouping: block b = gidx // (n_block/g), within-block group
+    jj = gidx % (n_block/g), row = b * n_block + slot * n_block/g + jj.
+    Reduces to slot * (n/g) + gidx when n fits one block."""
+    n_block = _n_block(n)
+    npg = jnp.int32(n_block // g)
+    gidx = gidx.astype(jnp.int32)
+    if n_block == n:
+        return slot * npg + gidx
+    return (gidx // npg) * jnp.int32(n_block) + slot * npg + (gidx % npg)
 
 
 TOP2_GROUPS = 256

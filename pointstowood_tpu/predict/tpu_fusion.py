@@ -24,9 +24,17 @@ candidates per scale:
 DEVICE-RESIDENT LAYOUT (round 3): the classified tile points, their
 probabilities, and the query cloud are shipped to the device ONCE per
 plot as flat arrays; every (fine, coarse) pair dispatch then carries only
-int32 query indices and tile offsets/lengths (~0.5 MB instead of ~10 MB
-of re-packed coordinates). On narrow tunneled hosts the upload was 96% of
-the warm wall-clock; single-shipment removes it.
+int32 query/candidate row indices (-1 = padding; validity derived on
+device). On narrow tunneled hosts re-packed coordinate uploads were 96%
+of the warm wall-clock; single-shipment removes them.
+
+DISPATCH PLAN (round 3): plan_fusion chunks each pair group's queries in
+Morton order; dense pairs search only the union rows inside the chunk's
+bounding box + margin (~4x less kNN work at full occupancy), small pairs
+bin-pack into shared entries with merged candidate unions (a candidate
+superset per query — closer to the reference's global search), and
+entries bucket by candidate capacity with remainders carried into the
+next bucket so only the last dispatch pads with empty entries.
 
 Rows whose voxel cell has no tile at some scale (dropped by min_pts) are
 assigned the nearest tile of that scale by centroid — their true nearest
@@ -60,10 +68,20 @@ GROUP = 16  # (query-chunk, tile) pairs per vmapped dispatch: fewer,
 K_PER_SCALE = 32
 # fused pair-kernel dispatch shape: smaller query chunks keep padding
 # waste low (most (fine, coarse) pair groups hold far fewer than 8192
-# queries), and the per-pair capacity buckets keep the kNN matrices at
-# the size of the actual tiles instead of one global max_pts cap
-PAIR_QCHUNK = 2048
+# queries) and shrink each chunk's candidate box, and the per-entry
+# capacity buckets keep the kNN matrices at the size of the actual
+# candidate sets instead of one global max_pts cap
+PAIR_QCHUNK = 1024
 PAIR_GROUP = 16
+
+
+def _cand_bucket(n: int) -> int:
+    """Candidate capacity bucket: 2048 floor (the Pallas kernel's minimum
+    width), then multiples of 4096 — finer than power-of-two so a 9k
+    candidate set pays 12k of kNN width, not 16k."""
+    if n <= 2048:
+        return 2048
+    return -(-n // 4096) * 4096
 # stage-2 recall target for the fusion kNNs: the median/vote over >= 32
 # probability-duplicated candidates is insensitive to single swapped
 # neighbors, so fusion buys latency with a looser target than the model
@@ -279,46 +297,43 @@ def tile_knn_indices(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_out", "any_wood_is_one", "cap_f", "cap_c")
+    jax.jit, static_argnames=("k_out", "any_wood_is_one")
 )
-def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx, q_valid,
-                    off_f, len_f, off_c, len_c, is_wood, any_wood,
-                    k_out, any_wood_is_one, cap_f, cap_c):
-    """kNN against a (fine, coarse) tile pair AND the median/vote fusion in
-    one dispatch, reading tile points / probabilities / query coordinates
-    from DEVICE-RESIDENT flat arrays: only int32 indices and offsets are
+def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx,
+                    cand_idx, is_wood, any_wood,
+                    k_out, any_wood_is_one):
+    """kNN against a gathered CANDIDATE row set AND the median/vote fusion
+    in one dispatch, reading tile points / probabilities / query
+    coordinates from DEVICE-RESIDENT flat arrays: only int32 indices are
     uploaded per dispatch, and only (Q, 2) [label, pwood] ever comes back.
 
-    ONE kNN over the fine+coarse UNION (each physical point appears once
-    per scale, with that scale's probability) selects the k_out nearest
-    duplicated candidates — exactly the reference's global search
-    semantics (predicter.py:136-137) restricted to the pair's points, for
-    BOTH k settings, with no cross-scale merge stage. Invalid slots
-    (queries padded, tiles holding fewer than k valid points) are
-    excluded from the median and the vote.
+    Candidates are the fine+coarse pair UNION (each physical point appears
+    once per scale, with that scale's probability) — the reference's
+    global duplicated-candidate search (predicter.py:136-137) restricted
+    to the pair's points, for BOTH k settings, with no cross-scale merge —
+    or, for dense pairs, the plan's margin-bounded spatial subset of that
+    union (see plan_fusion). Invalid slots (padded queries, padded
+    candidate rows) are excluded from the median and the vote.
 
-    cap_f/cap_c are per-dispatch static capacities (power-of-two bucket of
-    the actual tile sizes — a single global max_pts cap wastes up to 8x
-    kNN compute on small tiles). flat_xyz/flat_probs carry >= max(cap)
-    guard rows so the dynamic tile slices never clamp (clamping would
-    silently misalign the mask).
+    The candidate capacity is the cand_idx array width (a power-of-two
+    bucket chosen by the plan): one compile per bucket, and small pairs
+    never pay a global max_pts-sized kNN.
+
+    Padded slots in q_idx / cand_idx carry -1: validity is derived on
+    device (idx >= 0) instead of shipping separate bool planes — the
+    upload is ~20% of the per-dispatch bytes on a tunneled host.
     """
-    iota_f = jnp.arange(cap_f, dtype=jnp.int32)
-    iota_c = jnp.arange(cap_c, dtype=jnp.int32)
 
-    def per(qi, qv, of, lf, oc, lc):
+    def per(qi, ci):
+        qv = qi >= 0
+        cv = ci >= 0
+        qi = jnp.maximum(qi, 0)
+        ci = jnp.maximum(ci, 0)
         qq = qxyz[qi]  # (PAIR_QCHUNK, 3) resident gather
-        s = jnp.concatenate([
-            jax.lax.dynamic_slice(flat_xyz, (of, 0), (cap_f, 3)),
-            jax.lax.dynamic_slice(flat_xyz, (oc, 0), (cap_c, 3)),
-        ])
-        pu = jnp.concatenate([
-            jax.lax.dynamic_slice(flat_probs, (of,), (cap_f,)),
-            jax.lax.dynamic_slice(flat_probs, (oc,), (cap_c,)),
-        ])
-        sm = jnp.concatenate([iota_f < lf, iota_c < lc])
+        s = flat_xyz[ci]  # (cap, 3) resident gather
+        pu = flat_probs[ci]
         i, _, vm = knn_masked(
-            qq, s, k=k_out, query_mask=qv, source_mask=sm, method="fast",
+            qq, s, k=k_out, query_mask=qv, source_mask=cv, method="fast",
             recall_target=FUSION_RECALL, with_dist=False,
         )
         p = pu[i]  # (Q, k_out)
@@ -342,7 +357,7 @@ def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx, q_valid,
             label = jnp.any(vm & (c > any_wood), axis=1).astype(jnp.float32)
         return label, pwood
 
-    return jax.vmap(per)(q_idx, q_valid, off_f, len_f, off_c, len_c)
+    return jax.vmap(per)(q_idx, cand_idx)
 
 
 class FusionPlan:
@@ -352,20 +367,88 @@ class FusionPlan:
     builds the plan AND compiles the exact kernel variants concurrently
     with the model phase."""
 
-    __slots__ = ("offsets", "lens", "m", "n_q", "mp", "nqp", "dispatches",
-                 "combos", "n_near")
+    __slots__ = ("m", "n_q", "mp", "nqp", "flat_xyz", "dispatches",
+                 "combos", "n_near", "n_split")
 
-    def __init__(self, offsets, lens, m, n_q, mp, nqp, dispatches, combos,
-                 n_near):
-        self.offsets = offsets
-        self.lens = lens
+    def __init__(self, m, n_q, mp, nqp, flat_xyz, dispatches, combos,
+                 n_near, n_split):
         self.m = m
         self.n_q = n_q
-        self.mp = mp          # padded flat tile-array rows (guarded)
+        self.mp = mp          # padded flat tile-array rows
         self.nqp = nqp        # padded query rows
-        self.dispatches = dispatches  # [(cap_f, cap_c, [(tf, tc, qs)..])]
-        self.combos = combos  # sorted {(cap_f, cap_c)} present
+        self.flat_xyz = flat_xyz  # (mp, 3) np — classified xyz, batcher order
+        self.dispatches = dispatches  # [(cap, [(qs, cand_rows), ...])]
+        self.combos = combos  # sorted candidate-capacity buckets present
         self.n_near = n_near  # (query, scale) rows on nearest-tile fill
+        self.n_split = n_split  # queries routed through octant subsets
+
+
+# dense pairs: fine+coarse unions above this get per-chunk spatial
+# candidate subsets instead of brute force over the full union
+SPLIT_THRESHOLD = 8192
+# candidate box margin (m) around each query chunk's bounding box; must
+# exceed the typical 64-NN radius (~0.1-0.3 m at TLS densities) with slack
+SPLIT_MARGIN = 0.35
+# candidate floor: below this the subset is too sparse to trust (the
+# margin may clip true neighbors) — fall back to the full union
+SPLIT_MIN_CAND = 1024
+# Morton cell size (m) for spatial query ordering
+_MORTON_CELL = 0.5
+
+
+def _morton_order(xyz: np.ndarray) -> np.ndarray:
+    """Sort order by 3-D Morton code at _MORTON_CELL resolution: chunks of
+    consecutive queries become spatially TIGHT boxes (plain cell-id sort
+    produces thin z-slabs spanning the whole tile footprint)."""
+    c = np.floor((xyz - xyz.min(axis=0)) / _MORTON_CELL).astype(np.uint64)
+    c = np.minimum(c, (1 << 16) - 1)
+
+    def spread(v):  # interleave-ready: 16 bits -> every 3rd bit of 48
+        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
+        return v
+
+    code = spread(c[:, 0]) | (spread(c[:, 1]) << np.uint64(1)) \
+        | (spread(c[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
+def _pair_entries(qs, q_xyz, rows, pair_xyz):
+    """Split one (fine, coarse) pair group into kernel entries.
+
+    qs: query indices of the pair group; q_xyz their coordinates
+    (NaN-free); rows: classified rows of the pair union; pair_xyz their
+    coordinates. Dense unions order the queries by Morton code and chunk
+    them into full PAIR_QCHUNK blocks; each chunk searches only the union
+    rows inside its query bounding box + SPLIT_MARGIN — a ~4x candidate
+    cut for the dominant max_pts-sized pairs at full chunk occupancy,
+    with the full union as the sparse fallback.
+    Returns ([(qs_chunk, cand_rows)], n_split_queries).
+    """
+    out = []
+    if rows.size <= SPLIT_THRESHOLD or qs.size < 256:
+        for s0 in range(0, qs.size, PAIR_QCHUNK):
+            out.append((qs[s0 : s0 + PAIR_QCHUNK], rows))
+        return out, 0
+    order = _morton_order(q_xyz)
+    n_split = 0
+    for s0 in range(0, qs.size, PAIR_QCHUNK):
+        sel = order[s0 : s0 + PAIR_QCHUNK]
+        sub_xyz = q_xyz[sel]
+        lo = sub_xyz.min(axis=0) - SPLIT_MARGIN
+        hi = sub_xyz.max(axis=0) + SPLIT_MARGIN
+        inside = np.all((pair_xyz >= lo) & (pair_xyz <= hi), axis=1)
+        cand = rows[inside]
+        if (cand.size < SPLIT_MIN_CAND
+                or _cand_bucket(cand.size) >= _cand_bucket(rows.size)):
+            cand = rows  # subset buys nothing or is too sparse to trust
+        else:
+            n_split += sel.size
+        out.append((qs[sel], cand))
+    return out, n_split
 
 
 def plan_fusion(
@@ -399,7 +482,11 @@ def plan_fusion(
     # per-query tile at each scale; rows whose cell has no tile at a scale
     # (dropped by min_pts) take the nearest tile OF THAT SCALE by centroid
     # — their true nearest classified points are in an adjacent cell, and
-    # the pair kernel's exact distances rank those candidates correctly
+    # the pair kernel's exact distances rank those candidates correctly.
+    # Non-finite query rows are excluded from planning ENTIRELY (they fuse
+    # to inert zeros): their coordinates must not perturb the Morton
+    # chunking or the candidate boxes of valid queries.
+    finite = np.isfinite(xyz32).all(axis=1)
     tile_of = np.full((n_q, 2), -1, np.int64)
     n_near = 0
     for si, scale in enumerate(scales):
@@ -414,65 +501,119 @@ def plan_fusion(
         known, tidx = known[so], tidx[so]
         pos = np.clip(np.searchsorted(known, ids), 0, len(known) - 1)
         hit = (known[pos] == ids) if len(known) else np.zeros(n_q, bool)
-        tile_of[:, si] = np.where(hit, tidx[pos], -1)
-        miss = np.flatnonzero(tile_of[:, si] < 0)
+        tile_of[:, si] = np.where(hit & finite, tidx[pos], -1)
+        miss = np.flatnonzero((tile_of[:, si] < 0) & finite)
         if miss.size:
             n_near += miss.size
             cents = np.stack(
                 [tiles[t].points[:, :3].mean(axis=0) for t in scale_tiles]
             )
-            nn = _nearest_rows(np.nan_to_num(xyz32[miss]), cents)
+            nn = _nearest_rows(xyz32[miss], cents)
             tile_of[miss, si] = np.asarray(scale_tiles, np.int64)[nn]
 
-    # group queries by (fine, coarse) pair, chunk, bucket by capacities
+    # flat classified xyz in batcher order — the plan needs it for the
+    # spatial candidate subsets, and fuse_on_device ships it as the
+    # device-resident array
+    mp = _next_cap(m)
+    flat_xyz = np.zeros((mp, 3), np.float32)
+    flat_xyz[:m] = np.concatenate([tiles[t].points[:, :3] for t in order])
+
+    # group queries by (fine, coarse) pair, build candidate entries
     keys = tile_of[:, 0] * (len(tiles) + 1) + tile_of[:, 1]
     qorder = np.argsort(keys, kind="stable")
     bounds = np.flatnonzero(np.diff(keys[qorder])) + 1
-    by_combo = {}  # (cap_f, cap_c) -> [(tf, tc, qs), ...]
+    by_cap = {}  # candidate capacity bucket -> [(qs, cand_rows), ...]
+    n_split = 0
+    # small pairs bin-pack into shared entries (merged queries + merged
+    # candidate union): a candidate SUPERSET of each query's own pair is
+    # semantically safe (the kNN just sees more of the global candidate
+    # set), and packing deletes the half-empty small-pair dispatches
+    pack_q, pack_c, pack_nq, pack_nc = [], [], 0, 0
+
+    def flush_pack():
+        nonlocal pack_q, pack_c, pack_nq, pack_nc
+        if pack_nq:
+            qs = np.concatenate(pack_q)
+            cand = np.concatenate(pack_c)
+            by_cap.setdefault(_cand_bucket(cand.size), []).append((qs, cand))
+        pack_q, pack_c, pack_nq, pack_nc = [], [], 0, 0
+
     for grp in np.split(qorder, bounds):
-        if grp.size == 0:
-            continue
+        if grp.size == 0 or tile_of[grp[0], 0] < 0:
+            continue  # non-finite rows: no plan entry, fuse to inert zeros
         tf, tc = int(tile_of[grp[0], 0]), int(tile_of[grp[0], 1])
-        combo = (_next_cap(int(lens[tf])), _next_cap(int(lens[tc])))
-        lst = by_combo.setdefault(combo, [])
-        for s0 in range(0, grp.size, PAIR_QCHUNK):
-            lst.append((tf, tc, grp[s0 : s0 + PAIR_QCHUNK]))
+        of, lf = int(offsets[tf]), int(lens[tf])
+        oc, lc = int(offsets[tc]), int(lens[tc])
+        rows = np.concatenate([
+            np.arange(of, of + lf, dtype=np.int32),
+            np.arange(oc, oc + lc, dtype=np.int32),
+        ])
+        if grp.size <= PAIR_QCHUNK // 2 and rows.size <= SPLIT_THRESHOLD // 2:
+            if (pack_nq + grp.size > PAIR_QCHUNK
+                    or pack_nc + rows.size > SPLIT_THRESHOLD):
+                flush_pack()
+            pack_q.append(grp)
+            pack_c.append(rows)
+            pack_nq += grp.size
+            pack_nc += rows.size
+            continue
+        entries, ns = _pair_entries(grp, xyz32[grp], rows, flat_xyz[rows])
+        n_split += ns
+        for qs, cand in entries:
+            by_cap.setdefault(_cand_bucket(cand.size), []).append((qs, cand))
+    flush_pack()
 
+    # batch entries into dispatch groups per capacity, carrying remainder
+    # entries UP into the next capacity bucket (an entry runs fine at any
+    # cap >= its candidate count) so only the final dispatch ever pads
+    # with empty entries
     dispatches = []
-    for combo in sorted(by_combo):
-        entries = by_combo[combo]
-        for g0 in range(0, len(entries), PAIR_GROUP):
-            batch = entries[g0 : g0 + PAIR_GROUP]
-            while len(batch) < PAIR_GROUP:  # pad the dispatch group
-                batch = batch + [batch[-1][:2] + (np.zeros(0, np.int64),)]
-            dispatches.append((combo[0], combo[1], batch))
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int32))
+    carry = []
+    cap = 2048
+    for cap in sorted(by_cap):
+        entries = carry + by_cap[cap]
+        full = len(entries) // PAIR_GROUP * PAIR_GROUP
+        for g0 in range(0, full, PAIR_GROUP):
+            dispatches.append((cap, entries[g0 : g0 + PAIR_GROUP]))
+        carry = entries[full:]
+    if carry:
+        while len(carry) < PAIR_GROUP:
+            carry = carry + [empty]
+        dispatches.append((cap, carry))
 
-    cap_max = max((max(c) for c in by_combo), default=_next_cap(max_pts))
     return FusionPlan(
-        offsets, lens, m, n_q, _next_cap(m + cap_max), _next_cap(n_q),
-        dispatches, sorted(by_combo), n_near,
+        m, n_q, mp, _next_cap(n_q), flat_xyz, dispatches,
+        sorted({c for c, _ in dispatches}), n_near, n_split,
     )
 
 
 def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
                         any_wood: float) -> None:
     """Pre-compile every fused-pair kernel variant the plan will use
-    ((cap_f, cap_c) combos at the plan's resident shapes). The predict
-    engine calls this concurrently with the model phase so no compile
-    lands on the post-model critical path."""
+    (candidate-capacity buckets at the plan's resident shapes). The
+    predict engine calls this concurrently with the model phase so no
+    compile lands on the post-model critical path."""
+    import concurrent.futures
+
     k_out = 64 if any_wood == 1 else 32
-    zi = jnp.zeros(PAIR_GROUP, jnp.int32)
     fx = jnp.zeros((plan.mp, 3), jnp.float32)
     fp = jnp.zeros(plan.mp, jnp.float32)
     qx = jnp.zeros((plan.nqp, 3), jnp.float32)
     qi = jnp.zeros((PAIR_GROUP, PAIR_QCHUNK), jnp.int32)
-    qv = jnp.zeros((PAIR_GROUP, PAIR_QCHUNK), bool)
-    for cap_f, cap_c in plan.combos:
+
+    def one(cap):
         _fused_pair_knn(
-            fx, fp, qx, qi, qv, zi, zi, zi, zi,
+            fx, fp, qx, qi,
+            jnp.zeros((PAIR_GROUP, cap), jnp.int32),
             jnp.float32(is_wood), jnp.float32(any_wood), k_out,
-            any_wood == 1, cap_f, cap_c,
+            any_wood == 1,
         )
+
+    # several capacity variants compile per plan; overlap them (the
+    # compile service pipelines requests)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(one, plan.combos))
 
 
 def fuse_on_device(
@@ -511,43 +652,36 @@ def fuse_on_device(
     if verbose and plan.n_near:
         print(f"fusion: nearest-tile assignment for {plan.n_near} uncovered "
               f"(query, scale) rows — fused on-device, no host search")
+    if verbose and plan.n_split:
+        print(f"fusion: {plan.n_split} queries on octant candidate subsets")
 
     # resident upload: ONE shipment of tile points + probabilities + queries
-    fx = np.zeros((plan.mp, 3), np.float32)
-    fx[: plan.m] = np.concatenate([tiles[t].points[:, :3] for t in order])
     fp = np.zeros(plan.mp, np.float32)
     fp[: plan.m] = probs
     qx = np.zeros((plan.nqp, 3), np.float32)
     qx[:n_q] = query_xyz.astype(np.float32)  # NaN rows -> invalid -> inert
-    flat_xyz = jnp.asarray(fx)
+    flat_xyz = jnp.asarray(plan.flat_xyz)
     flat_probs = jnp.asarray(fp)
     qxyz_dev = jnp.asarray(qx)
 
     out = np.zeros((n_q, 2), np.float64)
     inflight = []
-    for cap_f, cap_c, batch in plan.dispatches:
-        q_idx = np.zeros((PAIR_GROUP, PAIR_QCHUNK), np.int32)
-        q_valid = np.zeros((PAIR_GROUP, PAIR_QCHUNK), bool)
-        off_f = np.zeros(PAIR_GROUP, np.int32)
-        len_f = np.zeros(PAIR_GROUP, np.int32)
-        off_c = np.zeros(PAIR_GROUP, np.int32)
-        len_c = np.zeros(PAIR_GROUP, np.int32)
-        for bi, (tf, tc, qs) in enumerate(batch):
+    for cap, batch in plan.dispatches:
+        q_idx = np.full((PAIR_GROUP, PAIR_QCHUNK), -1, np.int32)
+        cand_idx = np.full((PAIR_GROUP, cap), -1, np.int32)
+        for bi, (qs, cand) in enumerate(batch):
             q_idx[bi, : qs.size] = qs
-            q_valid[bi, : qs.size] = True
-            off_f[bi], len_f[bi] = plan.offsets[tf], plan.lens[tf]
-            off_c[bi], len_c[bi] = plan.offsets[tc], plan.lens[tc]
+            cand_idx[bi, : cand.size] = cand
         res = _fused_pair_knn(
             flat_xyz, flat_probs, qxyz_dev, jnp.asarray(q_idx),
-            jnp.asarray(q_valid), jnp.asarray(off_f), jnp.asarray(len_f),
-            jnp.asarray(off_c), jnp.asarray(len_c), jnp.float32(is_wood),
-            jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c,
+            jnp.asarray(cand_idx), jnp.float32(is_wood),
+            jnp.float32(any_wood), k_out, any_wood == 1,
         )
         inflight.append((batch, res))
     for batch, (label, pwood) in inflight:
         label = np.asarray(label)
         pwood = np.asarray(pwood)
-        for bi, (tf, tc, qs) in enumerate(batch):
+        for bi, (qs, _) in enumerate(batch):
             if qs.size == 0:
                 continue
             out[qs, 0] = label[bi, : qs.size]

@@ -62,7 +62,7 @@ def main():
             )(q_, s_)
             vals, gidx = jax.lax.approx_min_k(gm_, K, recall_target=R2)
             slot = pallas_knn.unpack_slot(vals)
-            return slot * jnp.int32(N // G) + gidx.astype(jnp.int32), vals
+            return pallas_knn.member_index(gidx, slot, N, G), vals
 
         idx, _ = bench(chained, q, s,
                        label=f"chained kernel[{precision}]+amk@{R2}")

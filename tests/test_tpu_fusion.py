@@ -177,3 +177,34 @@ def test_fusion_indices_host_fallback_when_unsupported(tiled_cloud):
                          min_pts=8)
     host = knn_indices(classified_xyz, query_xyz, 64)
     np.testing.assert_array_equal(np.sort(idx, 1), np.sort(host, 1))
+
+
+def test_split_candidate_subsets_match_full_union(tiled_cloud, monkeypatch):
+    """The dense-pair spatial candidate subsets (Morton-chunked queries,
+    margin-bounded candidate boxes) must not change fusion results beyond
+    the approx-kNN noise floor. The production SPLIT_THRESHOLD only fires
+    on >8192-row unions, so force the path on the test cloud and compare
+    against the same kernel WITHOUT splitting."""
+    from pointstowood_tpu.predict import tpu_fusion
+    from pointstowood_tpu.predict.tpu_fusion import fuse_on_device
+
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    # structured probability field (as a real model emits — near 0/1 with
+    # a boundary band); a uniform-random field would measure median noise,
+    # not the split path's fidelity
+    prob = (1 / (1 + np.exp(
+        (np.linalg.norm(classified_xyz[:, :2] - 3.0, axis=1) - 0.4) * 4
+    ))).astype(np.float32)
+
+    ref = fuse_on_device(tiles, order, prob, query_xyz, 0.5, 1.0,
+                         cfg.min_pts, cfg.max_pts)
+    monkeypatch.setattr(tpu_fusion, "SPLIT_THRESHOLD", 1024)
+    monkeypatch.setattr(tpu_fusion, "SPLIT_MIN_CAND", 256)
+    plan = tpu_fusion.plan_fusion(tiles, order, query_xyz, cfg.min_pts,
+                                  cfg.max_pts)
+    assert plan.n_split > 0, "split path not exercised"
+    split = fuse_on_device(tiles, order, prob, query_xyz, 0.5, 1.0,
+                           cfg.min_pts, cfg.max_pts, plan=plan)
+    agree = (ref[:, 0] == split[:, 0]).mean()
+    assert agree > 0.98, f"split-vs-union label agreement {agree}"
+    assert np.abs(ref[:, 1] - split[:, 1]).mean() < 0.02
