@@ -191,6 +191,24 @@ class TileBatcher:
         batch = pad_tiles(arrays, cap, with_labels=self.with_labels)
         return cap, batch, list(chunk)
 
+    def batch_plan(self) -> List[tuple]:
+        """The (capacity, tile_indices) sequence of deterministic bucketed
+        iteration, without building any padded arrays. Defines the
+        device-resident flat layout the zero-upload fusion path writes
+        into during the model phase: batch b occupies
+        ``batch_size * cap_b`` consecutive flat rows (including trailing
+        empty-tile padding), tile j of batch b the j-th cap-sized region.
+        Only defined for shuffle=False bucketed iteration."""
+        assert self.bucket and not self.shuffle
+        buckets: dict = {}
+        for ti in range(len(self.tiles)):
+            buckets.setdefault(self._tile_cap[ti], []).append(ti)
+        return [
+            (cap, idxs[s : s + self.batch_size])
+            for cap, idxs in sorted(buckets.items())
+            for s in range(0, len(idxs), self.batch_size)
+        ]
+
     def tile_order(self) -> List[int]:
         """The tile visit order of (deterministic) iteration, without
         building any padded arrays. The vstacked run_inference output rows

@@ -60,9 +60,18 @@ def run_inference(
     tiling_cfg: TilingConfig,
     mesh=None,
     verbose: bool = False,
-) -> np.ndarray:
+    sink=None,
+    with_readback: bool = True,
+) -> np.ndarray | None:
     """Classify all tiles; returns (M, 5) [x, y, z, pred, prob] rows for
-    every valid tile point (reference predicter.py:192-217)."""
+    every valid tile point (reference predicter.py:192-217).
+
+    ``sink``: optional tpu_fusion.FlatSink — each batch's device-resident
+    positions and probabilities are written into the fusion flat arrays
+    as they are produced (zero-upload fusion). With
+    ``with_readback=False`` the host readback of the classified rows is
+    skipped entirely (the device fusion path never needs them) and the
+    function returns None."""
     from pointstowood_tpu.ops.voxel import check_voxel_pack_range
 
     # tile extent is bounded by the coarsest tiling grid; the finest SA
@@ -101,7 +110,9 @@ def run_inference(
         )
         outputs.append(out[batch.mask])
 
+    n_batches = 0
     for cap, batch, _ in batcher:
+        n_batches += 1
         pos = jnp.asarray(batch.pos)
         refl = jnp.asarray(batch.reflectance)
         mask = jnp.asarray(batch.mask)
@@ -110,13 +121,19 @@ def run_inference(
             pos, refl, mask, sf = put_sharded(
                 data_sharding, pos, refl, mask, sf
             )
-        pending.append((_forward(net, variables, pos, refl, mask, sf), batch))
-        if len(pending) > 2:
-            drain(pending.pop(0))
+        probs_dev = _forward(net, variables, pos, refl, mask, sf)
+        if sink is not None:
+            sink.write(pos, batch.shift, probs_dev)
+        if with_readback:
+            pending.append((probs_dev, batch))
+            if len(pending) > 2:
+                drain(pending.pop(0))
     while pending:
         drain(pending.pop(0))
-    if not outputs:
+    if not n_batches:
         raise ValueError("no tiles to classify (cloud smaller than min_pts?)")
+    if not with_readback:
+        return None
     return np.vstack(outputs)
 
 
@@ -171,15 +188,24 @@ def semantic_segmentation(
     cluster_features = getattr(tiling_cfg, "cluster_features", False)
     will_fuse_on_device = False
     plan_future = None
+    sink = None
     if not os.path.exists("nbrs.npy"):
         from pointstowood_tpu.predict.tpu_fusion import (
-            K_PER_SCALE, fusion_indices, plan_fusion, warm_fuse_on_device,
+            K_PER_SCALE, FlatSink, fusion_indices, layout_from_batches,
+            plan_fusion, warm_fuse_on_device,
         )
 
-        order = TileBatcher(
-            tiles, batch_size=predict_cfg.batch_size,
+        # mirror run_inference's mesh batch-size adjustment: the flat
+        # layout is derived from the batch plan and must match exactly
+        batch_size = predict_cfg.batch_size
+        n_dev = 1 if mesh is None else mesh.devices.size
+        if batch_size % n_dev:
+            batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        batcher = TileBatcher(
+            tiles, batch_size=batch_size,
             min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
-        ).tile_order()
+        )
+        order = batcher.tile_order()
         source_xyz = np.concatenate(
             [tiles[ti].points[:, :3] for ti in order]
         )
@@ -202,6 +228,13 @@ def semantic_segmentation(
             and tiling_cfg.min_pts >= K_PER_SCALE
             and all(t.cell_id >= 0 for t in tiles)
         )
+        # zero-upload path: the model phase writes the fusion flat arrays
+        # on device and the classified-row readback is skipped entirely
+        # (single-device only: sharded batches would need a gather)
+        if will_fuse_on_device and n_dev == 1:
+            sink = FlatSink(layout_from_batches(
+                tiles, batcher.batch_plan(), batch_size
+            ))
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         if not use_tpu_fusion:
             index_future = executor.submit(
@@ -210,10 +243,13 @@ def semantic_segmentation(
         # build the dispatch plan AND compile the fusion kernel variants
         # concurrently: all shapes are known before any probability exists
         if will_fuse_on_device:
+            layout = sink.layout if sink is not None else None
+
             def _plan_and_warm():
                 plan = plan_fusion(
                     tiles, order, query_xyz, tiling_cfg.min_pts,
                     tiling_cfg.max_pts, cluster_features=cluster_features,
+                    layout=layout,
                 )
                 if plan is not None:
                     warm_fuse_on_device(
@@ -231,11 +267,12 @@ def semantic_segmentation(
     with ctx:
         classified = run_inference(
             tiles, variables, net, predict_cfg, tiling_cfg, mesh=mesh,
-            verbose=verbose,
+            verbose=verbose, sink=sink, with_readback=sink is None,
         )
     t1 = time.perf_counter()
     if verbose:
-        n_pts = int(classified.shape[0])
+        n_pts = (int(classified.shape[0]) if classified is not None
+                 else int(sum(len(t) for t in tiles)))
         print(
             f"model phase: {t1 - t0:.2f}s, {len(tiles)} tiles, "
             f"{n_pts} classified points "
@@ -248,14 +285,18 @@ def semantic_segmentation(
         from pointstowood_tpu.predict.tpu_fusion import fuse_on_device
 
         # preferred: the fully device-side path (kNN + median/vote in one
-        # dispatch, nothing but (Q, 2) read back); the index-based TPU
-        # path covers the configurations it declines
+        # dispatch, nothing but the packed result buffer read back); the
+        # index-based TPU path covers the configurations it declines
         plan = plan_future.result() if plan_future is not None else None
         fused = fuse_on_device(
-            tiles, order, classified[:, -1].astype(np.float32), query_xyz,
+            tiles, order,
+            None if sink is not None
+            else classified[:, -1].astype(np.float32),
+            query_xyz,
             predict_cfg.is_wood, predict_cfg.any_wood, tiling_cfg.min_pts,
             tiling_cfg.max_pts, verbose=verbose,
             cluster_features=cluster_features, plan=plan,
+            resident=sink.arrays() if sink is not None else None,
         )
         if fused is None:
             indices = fusion_indices(

@@ -21,20 +21,24 @@ candidates per scale:
   duplicated neighborhoods;
 * any_wood!=1 (k=32): the nearest 32 of the 64 by exact distance.
 
-DEVICE-RESIDENT LAYOUT (round 3): the classified tile points, their
-probabilities, and the query cloud are shipped to the device ONCE per
-plot as flat arrays; every (fine, coarse) pair dispatch then carries only
-int32 query/candidate row indices (-1 = padding; validity derived on
-device). On narrow tunneled hosts re-packed coordinate uploads were 96%
-of the warm wall-clock; single-shipment removes them.
+ZERO-UPLOAD LAYOUT (round 3): the measured tunneled-host link runs at
+~10 MB/s, so BYTES MOVED — not kNN FLOPs (~0.3 s of a 7 s phase) —
+dominate plot-scale fusion. Three rules follow:
 
-DISPATCH PLAN (round 3): plan_fusion chunks each pair group's queries in
-Morton order; dense pairs search only the union rows inside the chunk's
-bounding box + margin (~4x less kNN work at full occupancy), small pairs
-bin-pack into shared entries with merged candidate unions (a candidate
-superset per query — closer to the reference's global search), and
-entries bucket by candidate capacity with remainders carried into the
-next bucket so only the last dispatch pads with empty entries.
+* the flat classified-point / probability arrays are built ON DEVICE
+  during the model phase (FlatSink: each batch's already-uploaded
+  positions and freshly computed probabilities are written into donated
+  flat buffers at the batch's static layout offset) — the tile points
+  are never re-uploaded and the probabilities are never read back;
+* the query cloud ships ONCE, pre-permuted into per-entry QCHUNK-aligned
+  slots, so each dispatch carries only 5 int32 scalars per entry
+  (query count + fine/coarse region offset/length);
+* every dispatch accumulates its (label, pwood) — packed into ONE f32
+  as pwood + 2*label — into a donated device buffer; a single readback
+  at the end returns all results.
+
+A host-upload fallback (FlatSink unavailable: multi-device mesh, direct
+test calls) builds the same flat layout host-side and uploads it once.
 
 Rows whose voxel cell has no tile at some scale (dropped by min_pts) are
 assigned the nearest tile of that scale by centroid — their true nearest
@@ -68,20 +72,10 @@ GROUP = 16  # (query-chunk, tile) pairs per vmapped dispatch: fewer,
 K_PER_SCALE = 32
 # fused pair-kernel dispatch shape: smaller query chunks keep padding
 # waste low (most (fine, coarse) pair groups hold far fewer than 8192
-# queries) and shrink each chunk's candidate box, and the per-entry
-# capacity buckets keep the kNN matrices at the size of the actual
-# candidate sets instead of one global max_pts cap
+# queries); padding costs only kNN compute and query-slot upload, both
+# cheap next to the per-plot fixed transfers
 PAIR_QCHUNK = 1024
 PAIR_GROUP = 16
-
-
-def _cand_bucket(n: int) -> int:
-    """Candidate capacity bucket: 2048 floor (the Pallas kernel's minimum
-    width), then multiples of 4096 — finer than power-of-two so a 9k
-    candidate set pays 12k of kNN width, not 16k."""
-    if n <= 2048:
-        return 2048
-    return -(-n // 4096) * 4096
 # stage-2 recall target for the fusion kNNs: the median/vote over >= 32
 # probability-duplicated candidates is insensitive to single swapped
 # neighbors, so fusion buys latency with a looser target than the model
@@ -297,43 +291,55 @@ def tile_knn_indices(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_out", "any_wood_is_one")
+    jax.jit,
+    static_argnames=("k_out", "any_wood_is_one", "cap_f", "cap_c"),
+    donate_argnums=(0,),
 )
-def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx,
-                    cand_idx, is_wood, any_wood,
-                    k_out, any_wood_is_one):
-    """kNN against a gathered CANDIDATE row set AND the median/vote fusion
-    in one dispatch, reading tile points / probabilities / query
-    coordinates from DEVICE-RESIDENT flat arrays: only int32 indices are
-    uploaded per dispatch, and only (Q, 2) [label, pwood] ever comes back.
+def _fused_pair_knn(acc, flat_xyz, flat_probs, q_perm, base, qlens,
+                    off_f, len_f, off_c, len_c, is_wood, any_wood,
+                    k_out, any_wood_is_one, cap_f, cap_c):
+    """kNN against a (fine, coarse) tile pair AND the median/vote fusion
+    in one dispatch, reading everything from DEVICE-RESIDENT arrays:
+    tile points/probabilities from the flat layout (written on device by
+    FlatSink during the model phase, or uploaded once by the fallback),
+    queries from the pre-permuted q_perm (entry i of this dispatch owns
+    slots [base + i*QCHUNK, base + (i+1)*QCHUNK)). The dispatch uploads
+    only 5 int32 per entry and reads back NOTHING — results accumulate
+    into the donated ``acc`` buffer (one f32 per slot: pwood + 2*label),
+    read back once after all dispatches.
 
-    Candidates are the fine+coarse pair UNION (each physical point appears
-    once per scale, with that scale's probability) — the reference's
-    global duplicated-candidate search (predicter.py:136-137) restricted
-    to the pair's points, for BOTH k settings, with no cross-scale merge —
-    or, for dense pairs, the plan's margin-bounded spatial subset of that
-    union (see plan_fusion). Invalid slots (padded queries, padded
-    candidate rows) are excluded from the median and the vote.
+    ONE kNN over the fine+coarse UNION (each physical point appears once
+    per scale, with that scale's probability) selects the k_out nearest
+    duplicated candidates — exactly the reference's global search
+    semantics (predicter.py:136-137) restricted to the pair's points, for
+    BOTH k settings, with no cross-scale merge stage. Invalid slots
+    (padded queries, padded tile-region rows) are excluded from the
+    median and the vote.
 
-    The candidate capacity is the cand_idx array width (a power-of-two
-    bucket chosen by the plan): one compile per bucket, and small pairs
-    never pay a global max_pts-sized kNN.
-
-    Padded slots in q_idx / cand_idx carry -1: validity is derived on
-    device (idx >= 0) instead of shipping separate bool planes — the
-    upload is ~20% of the per-dispatch bytes on a tunneled host.
+    cap_f/cap_c are the pair's static flat-region sizes (the tiles'
+    batcher buckets): one compile per (cap_f, cap_c) combo, and small
+    pairs never pay a global max_pts-sized kNN.
     """
+    iota_f = jnp.arange(cap_f, dtype=jnp.int32)
+    iota_c = jnp.arange(cap_c, dtype=jnp.int32)
+    iota_q = jnp.arange(PAIR_QCHUNK, dtype=jnp.int32)
+    qq_all = jax.lax.dynamic_slice(
+        q_perm, (base, 0), (PAIR_GROUP * PAIR_QCHUNK, 3)
+    ).reshape(PAIR_GROUP, PAIR_QCHUNK, 3)
 
-    def per(qi, ci):
-        qv = qi >= 0
-        cv = ci >= 0
-        qi = jnp.maximum(qi, 0)
-        ci = jnp.maximum(ci, 0)
-        qq = qxyz[qi]  # (PAIR_QCHUNK, 3) resident gather
-        s = flat_xyz[ci]  # (cap, 3) resident gather
-        pu = flat_probs[ci]
+    def per(qq, ql, of, lf, oc, lc):
+        qv = iota_q < ql
+        s = jnp.concatenate([
+            jax.lax.dynamic_slice(flat_xyz, (of, 0), (cap_f, 3)),
+            jax.lax.dynamic_slice(flat_xyz, (oc, 0), (cap_c, 3)),
+        ])
+        pu = jnp.concatenate([
+            jax.lax.dynamic_slice(flat_probs, (of,), (cap_f,)),
+            jax.lax.dynamic_slice(flat_probs, (oc,), (cap_c,)),
+        ])
+        sm = jnp.concatenate([iota_f < lf, iota_c < lc])
         i, _, vm = knn_masked(
-            qq, s, k=k_out, query_mask=qv, source_mask=cv, method="fast",
+            qq, s, k=k_out, query_mask=qv, source_mask=sm, method="fast",
             recall_target=FUSION_RECALL, with_dist=False,
         )
         p = pu[i]  # (Q, k_out)
@@ -357,7 +363,103 @@ def _fused_pair_knn(flat_xyz, flat_probs, qxyz, q_idx,
             label = jnp.any(vm & (c > any_wood), axis=1).astype(jnp.float32)
         return label, pwood
 
-    return jax.vmap(per)(q_idx, cand_idx)
+    label, pwood = jax.vmap(per)(qq_all, qlens, off_f, len_f, off_c, len_c)
+    # pack both outputs into one f32 (pwood keeps 21 mantissa bits): the
+    # readback is half the bytes on a ~10 MB/s link
+    packed = (pwood + 2.0 * label).reshape(PAIR_GROUP * PAIR_QCHUNK)
+    return jax.lax.dynamic_update_slice(acc, packed, (base,))
+
+
+class FlatLayout:
+    """The device flat-array layout: tile t owns rows
+    [off[t], off[t] + cap[t]) with len[t] valid. Derived either from the
+    batcher's batch plan (FlatSink path — includes trailing empty-tile
+    padding so whole batches write contiguously) or tightly from the tile
+    order (host-upload fallback)."""
+
+    __slots__ = ("off", "cap", "lens", "flat_len", "mp", "batch_base")
+
+    def __init__(self, off, cap, lens, flat_len, batch_base=None):
+        self.off = off          # (n_tiles,) int64 flat row offset
+        self.cap = cap          # (n_tiles,) int64 padded region size
+        self.lens = lens        # (n_tiles,) int64 valid rows
+        self.flat_len = flat_len
+        self.mp = _next_cap(flat_len)  # power-of-two device array rows
+        self.batch_base = batch_base  # per-batch flat offset (sink only)
+
+
+def layout_from_batches(tiles, batch_plan, batch_size) -> FlatLayout:
+    """FlatLayout matching TileBatcher.batch_plan(): batch b occupies
+    batch_size * cap_b consecutive rows starting at batch_base[b]."""
+    n = len(tiles)
+    off = np.zeros(n, np.int64)
+    cap = np.zeros(n, np.int64)
+    lens = np.array([len(t) for t in tiles], np.int64)
+    batch_base = []
+    goff = 0
+    for bcap, ids in batch_plan:
+        batch_base.append(goff)
+        for j, t in enumerate(ids):
+            off[t] = goff + j * bcap
+            cap[t] = bcap
+        goff += batch_size * bcap
+    return FlatLayout(off, cap, lens, goff, batch_base)
+
+
+def layout_tight(tiles, order) -> FlatLayout:
+    """Fallback layout: per-tile power-of-two regions, batcher order."""
+    n = len(tiles)
+    off = np.zeros(n, np.int64)
+    cap = np.zeros(n, np.int64)
+    lens = np.array([len(t) for t in tiles], np.int64)
+    goff = 0
+    for t in order:
+        off[t] = goff
+        cap[t] = _next_cap(len(tiles[t]))
+        goff += cap[t]
+    return FlatLayout(off, cap, lens, goff)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _sink_write(fxyz, fprobs, pos, shift, probs, goff):
+    b, n, _ = pos.shape
+    xyz = (pos.astype(jnp.float32) + shift[:, None, :]).reshape(b * n, 3)
+    fxyz = jax.lax.dynamic_update_slice(fxyz, xyz, (goff, 0))
+    fprobs = jax.lax.dynamic_update_slice(
+        fprobs, probs.astype(jnp.float32).reshape(b * n), (goff,)
+    )
+    return fxyz, fprobs
+
+
+class FlatSink:
+    """Accumulates the fusion flat arrays ON DEVICE during the model
+    phase: each batch's already-uploaded positions and freshly computed
+    probabilities are written (donated buffers, one dynamic_update_slice
+    pair per batch) into the flat layout — the tile points are never
+    re-uploaded for fusion and the probabilities are never read back.
+    Batches must arrive in batch_plan order (run_inference's bucketed
+    iteration order)."""
+
+    def __init__(self, layout: FlatLayout):
+        assert layout.batch_base is not None
+        self.layout = layout
+        self._xyz = jnp.zeros((layout.mp, 3), jnp.float32)
+        self._probs = jnp.zeros(layout.mp, jnp.float32)
+        self._next = 0
+
+    def write(self, pos_dev, shift: np.ndarray, probs_dev) -> None:
+        goff = self.layout.batch_base[self._next]
+        self._next += 1
+        self._xyz, self._probs = _sink_write(
+            self._xyz, self._probs, pos_dev,
+            jnp.asarray(shift.astype(np.float32)), probs_dev,
+            np.int32(goff),
+        )
+
+    def arrays(self):
+        assert self._next == len(self.layout.batch_base), \
+            "FlatSink did not receive every batch"
+        return self._xyz, self._probs
 
 
 class FusionPlan:
@@ -367,88 +469,20 @@ class FusionPlan:
     builds the plan AND compiles the exact kernel variants concurrently
     with the model phase."""
 
-    __slots__ = ("m", "n_q", "mp", "nqp", "flat_xyz", "dispatches",
-                 "combos", "n_near", "n_split")
+    __slots__ = ("layout", "n_q", "n_slots", "nsp", "perm", "dispatches",
+                 "combos", "n_near")
 
-    def __init__(self, m, n_q, mp, nqp, flat_xyz, dispatches, combos,
-                 n_near, n_split):
-        self.m = m
+    def __init__(self, layout, n_q, n_slots, nsp, perm, dispatches,
+                 combos, n_near):
+        self.layout = layout
         self.n_q = n_q
-        self.mp = mp          # padded flat tile-array rows
-        self.nqp = nqp        # padded query rows
-        self.flat_xyz = flat_xyz  # (mp, 3) np — classified xyz, batcher order
-        self.dispatches = dispatches  # [(cap, [(qs, cand_rows), ...])]
-        self.combos = combos  # sorted candidate-capacity buckets present
-        self.n_near = n_near  # (query, scale) rows on nearest-tile fill
-        self.n_split = n_split  # queries routed through octant subsets
-
-
-# dense pairs: fine+coarse unions above this get per-chunk spatial
-# candidate subsets instead of brute force over the full union
-SPLIT_THRESHOLD = 8192
-# candidate box margin (m) around each query chunk's bounding box; must
-# exceed the typical 64-NN radius (~0.1-0.3 m at TLS densities) with slack
-SPLIT_MARGIN = 0.35
-# candidate floor: below this the subset is too sparse to trust (the
-# margin may clip true neighbors) — fall back to the full union
-SPLIT_MIN_CAND = 1024
-# Morton cell size (m) for spatial query ordering
-_MORTON_CELL = 0.5
-
-
-def _morton_order(xyz: np.ndarray) -> np.ndarray:
-    """Sort order by 3-D Morton code at _MORTON_CELL resolution: chunks of
-    consecutive queries become spatially TIGHT boxes (plain cell-id sort
-    produces thin z-slabs spanning the whole tile footprint)."""
-    c = np.floor((xyz - xyz.min(axis=0)) / _MORTON_CELL).astype(np.uint64)
-    c = np.minimum(c, (1 << 16) - 1)
-
-    def spread(v):  # interleave-ready: 16 bits -> every 3rd bit of 48
-        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
-        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
-        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
-        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
-        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
-        return v
-
-    code = spread(c[:, 0]) | (spread(c[:, 1]) << np.uint64(1)) \
-        | (spread(c[:, 2]) << np.uint64(2))
-    return np.argsort(code, kind="stable")
-
-
-def _pair_entries(qs, q_xyz, rows, pair_xyz):
-    """Split one (fine, coarse) pair group into kernel entries.
-
-    qs: query indices of the pair group; q_xyz their coordinates
-    (NaN-free); rows: classified rows of the pair union; pair_xyz their
-    coordinates. Dense unions order the queries by Morton code and chunk
-    them into full PAIR_QCHUNK blocks; each chunk searches only the union
-    rows inside its query bounding box + SPLIT_MARGIN — a ~4x candidate
-    cut for the dominant max_pts-sized pairs at full chunk occupancy,
-    with the full union as the sparse fallback.
-    Returns ([(qs_chunk, cand_rows)], n_split_queries).
-    """
-    out = []
-    if rows.size <= SPLIT_THRESHOLD or qs.size < 256:
-        for s0 in range(0, qs.size, PAIR_QCHUNK):
-            out.append((qs[s0 : s0 + PAIR_QCHUNK], rows))
-        return out, 0
-    order = _morton_order(q_xyz)
-    n_split = 0
-    for s0 in range(0, qs.size, PAIR_QCHUNK):
-        sel = order[s0 : s0 + PAIR_QCHUNK]
-        sub_xyz = q_xyz[sel]
-        lo = sub_xyz.min(axis=0) - SPLIT_MARGIN
-        hi = sub_xyz.max(axis=0) + SPLIT_MARGIN
-        inside = np.all((pair_xyz >= lo) & (pair_xyz <= hi), axis=1)
-        cand = rows[inside]
-        if (cand.size < SPLIT_MIN_CAND
-                or _cand_bucket(cand.size) >= _cand_bucket(rows.size)):
-            cand = rows  # subset buys nothing or is too sparse to trust
-        else:
-            n_split += sel.size
-        out.append((qs[sel], cand))
-    return out, n_split
+        self.n_slots = n_slots  # used permuted query slots
+        self.nsp = nsp          # padded slots (power-of-two device arrays)
+        self.perm = perm        # (n_slots,) int64 slot -> query row, -1 pad
+        # [(cap_f, cap_c, base, qlens, off_f, len_f, off_c, len_c)]
+        self.dispatches = dispatches
+        self.combos = combos    # sorted {(cap_f, cap_c)} present
+        self.n_near = n_near    # (query, scale) rows on nearest-tile fill
 
 
 def plan_fusion(
@@ -458,26 +492,26 @@ def plan_fusion(
     min_pts: int,
     max_pts: int,
     cluster_features: bool = False,
+    layout: FlatLayout | None = None,
 ):
     """Build the FusionPlan (pure host work: cell lookups, pair grouping,
-    capacity bucketing). Returns None when the device path does not apply
+    query permutation). Returns None when the device path does not apply
     (callers then use fusion_indices / the host search). ``cluster_features``
     tilings are declined: their cell ids are packed from the full feature
-    tensor and are incomparable with the xyz-only ids recomputed here."""
+    tensor and are incomparable with the xyz-only ids recomputed here.
+
+    ``layout``: the flat-array layout — pass the FlatSink's batch-derived
+    layout for the zero-upload path; defaults to the tight fallback layout
+    (host-upload path)."""
     scales = sorted({t.grid_size for t in tiles})
     if (len(scales) != 2 or min_pts < K_PER_SCALE or cluster_features
             or any(t.cell_id < 0 for t in tiles)):
         return None
+    if layout is None:
+        layout = layout_tight(tiles, order)
 
     n_q = query_xyz.shape[0]
     xyz32 = query_xyz.astype(np.float32)
-    offsets = np.zeros(len(tiles), np.int64)
-    off = 0
-    for j in order:
-        offsets[j] = off
-        off += len(tiles[j])
-    m = int(off)
-    lens = np.array([len(t) for t in tiles], np.int32)
 
     # per-query tile at each scale; rows whose cell has no tile at a scale
     # (dropped by min_pts) take the nearest tile OF THAT SCALE by centroid
@@ -511,107 +545,86 @@ def plan_fusion(
             nn = _nearest_rows(xyz32[miss], cents)
             tile_of[miss, si] = np.asarray(scale_tiles, np.int64)[nn]
 
-    # flat classified xyz in batcher order — the plan needs it for the
-    # spatial candidate subsets, and fuse_on_device ships it as the
-    # device-resident array
-    mp = _next_cap(m)
-    flat_xyz = np.zeros((mp, 3), np.float32)
-    flat_xyz[:m] = np.concatenate([tiles[t].points[:, :3] for t in order])
-
-    # group queries by (fine, coarse) pair, build candidate entries
+    # group queries by (fine, coarse) pair, chunk into QCHUNK entries,
+    # bucket entries by the pair's static flat-region sizes
     keys = tile_of[:, 0] * (len(tiles) + 1) + tile_of[:, 1]
     qorder = np.argsort(keys, kind="stable")
     bounds = np.flatnonzero(np.diff(keys[qorder])) + 1
-    by_cap = {}  # candidate capacity bucket -> [(qs, cand_rows), ...]
-    n_split = 0
-    # small pairs bin-pack into shared entries (merged queries + merged
-    # candidate union): a candidate SUPERSET of each query's own pair is
-    # semantically safe (the kNN just sees more of the global candidate
-    # set), and packing deletes the half-empty small-pair dispatches
-    pack_q, pack_c, pack_nq, pack_nc = [], [], 0, 0
-
-    def flush_pack():
-        nonlocal pack_q, pack_c, pack_nq, pack_nc
-        if pack_nq:
-            qs = np.concatenate(pack_q)
-            cand = np.concatenate(pack_c)
-            by_cap.setdefault(_cand_bucket(cand.size), []).append((qs, cand))
-        pack_q, pack_c, pack_nq, pack_nc = [], [], 0, 0
-
+    by_combo = {}  # (cap_f, cap_c) -> [(qs, off_f, len_f, off_c, len_c)]
     for grp in np.split(qorder, bounds):
         if grp.size == 0 or tile_of[grp[0], 0] < 0:
             continue  # non-finite rows: no plan entry, fuse to inert zeros
         tf, tc = int(tile_of[grp[0], 0]), int(tile_of[grp[0], 1])
-        of, lf = int(offsets[tf]), int(lens[tf])
-        oc, lc = int(offsets[tc]), int(lens[tc])
-        rows = np.concatenate([
-            np.arange(of, of + lf, dtype=np.int32),
-            np.arange(oc, oc + lc, dtype=np.int32),
-        ])
-        if grp.size <= PAIR_QCHUNK // 2 and rows.size <= SPLIT_THRESHOLD // 2:
-            if (pack_nq + grp.size > PAIR_QCHUNK
-                    or pack_nc + rows.size > SPLIT_THRESHOLD):
-                flush_pack()
-            pack_q.append(grp)
-            pack_c.append(rows)
-            pack_nq += grp.size
-            pack_nc += rows.size
-            continue
-        entries, ns = _pair_entries(grp, xyz32[grp], rows, flat_xyz[rows])
-        n_split += ns
-        for qs, cand in entries:
-            by_cap.setdefault(_cand_bucket(cand.size), []).append((qs, cand))
-    flush_pack()
+        combo = (int(layout.cap[tf]), int(layout.cap[tc]))
+        meta = (int(layout.off[tf]), int(layout.lens[tf]),
+                int(layout.off[tc]), int(layout.lens[tc]))
+        lst = by_combo.setdefault(combo, [])
+        for s0 in range(0, grp.size, PAIR_QCHUNK):
+            lst.append((grp[s0 : s0 + PAIR_QCHUNK],) + meta)
 
-    # batch entries into dispatch groups per capacity, carrying remainder
-    # entries UP into the next capacity bucket (an entry runs fine at any
-    # cap >= its candidate count) so only the final dispatch ever pads
-    # with empty entries
+    # assemble dispatches: entry i of dispatch d owns permuted query slots
+    # [base_d + i*QCHUNK, base_d + (i+1)*QCHUNK); the permutation is the
+    # entry order itself, so dispatch payloads are 5 int32 per entry and
+    # the accumulated results read back in one contiguous buffer
     dispatches = []
-    empty = (np.zeros(0, np.int64), np.zeros(0, np.int32))
-    carry = []
-    cap = 2048
-    for cap in sorted(by_cap):
-        entries = carry + by_cap[cap]
-        full = len(entries) // PAIR_GROUP * PAIR_GROUP
-        for g0 in range(0, full, PAIR_GROUP):
-            dispatches.append((cap, entries[g0 : g0 + PAIR_GROUP]))
-        carry = entries[full:]
-    if carry:
-        while len(carry) < PAIR_GROUP:
-            carry = carry + [empty]
-        dispatches.append((cap, carry))
+    perm_parts = []
+    base = 0
+    empty = (np.zeros(0, np.int64), 0, 0, 0, 0)
+    for combo in sorted(by_combo):
+        entries = by_combo[combo]
+        for g0 in range(0, len(entries), PAIR_GROUP):
+            batch = entries[g0 : g0 + PAIR_GROUP]
+            while len(batch) < PAIR_GROUP:
+                batch = batch + [empty]
+            qlens = np.array([e[0].size for e in batch], np.int32)
+            offf = np.array([e[1] for e in batch], np.int32)
+            lenf = np.array([e[2] for e in batch], np.int32)
+            offc = np.array([e[3] for e in batch], np.int32)
+            lenc = np.array([e[4] for e in batch], np.int32)
+            for qs, *_ in batch:
+                slot = np.full(PAIR_QCHUNK, -1, np.int64)
+                slot[: qs.size] = qs
+                perm_parts.append(slot)
+            dispatches.append(
+                (combo[0], combo[1], base, qlens, offf, lenf, offc, lenc)
+            )
+            base += PAIR_GROUP * PAIR_QCHUNK
 
+    perm = (np.concatenate(perm_parts) if perm_parts
+            else np.zeros(0, np.int64))
     return FusionPlan(
-        m, n_q, mp, _next_cap(n_q), flat_xyz, dispatches,
-        sorted({c for c, _ in dispatches}), n_near, n_split,
+        layout, n_q, base, max(_next_cap(base), 2048), perm, dispatches,
+        sorted(by_combo), n_near,
     )
 
 
 def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
                         any_wood: float) -> None:
     """Pre-compile every fused-pair kernel variant the plan will use
-    (candidate-capacity buckets at the plan's resident shapes). The
-    predict engine calls this concurrently with the model phase so no
-    compile lands on the post-model critical path."""
+    ((cap_f, cap_c) combos at the plan's resident shapes). The predict
+    engine calls this concurrently with the model phase so no compile
+    lands on the post-model critical path."""
     import concurrent.futures
 
     k_out = 64 if any_wood == 1 else 32
-    fx = jnp.zeros((plan.mp, 3), jnp.float32)
-    fp = jnp.zeros(plan.mp, jnp.float32)
-    qx = jnp.zeros((plan.nqp, 3), jnp.float32)
-    qi = jnp.zeros((PAIR_GROUP, PAIR_QCHUNK), jnp.int32)
+    mp = plan.layout.mp
+    fx = jnp.zeros((mp, 3), jnp.float32)
+    fp = jnp.zeros(mp, jnp.float32)
+    qx = jnp.zeros((plan.nsp, 3), jnp.float32)
+    zi = np.zeros(PAIR_GROUP, np.int32)
 
-    def one(cap):
+    def one(combo):
+        cap_f, cap_c = combo
+        # acc is donated: give each warm call its own buffer
         _fused_pair_knn(
-            fx, fp, qx, qi,
-            jnp.zeros((PAIR_GROUP, cap), jnp.int32),
+            jnp.zeros(plan.nsp, jnp.float32), fx, fp, qx, np.int32(0),
+            zi, zi, zi, zi, zi,
             jnp.float32(is_wood), jnp.float32(any_wood), k_out,
-            any_wood == 1,
+            any_wood == 1, cap_f, cap_c,
         )
 
-    # several capacity variants compile per plan; overlap them (the
-    # compile service pipelines requests)
+    # several combo variants compile per plan; overlap them (the compile
+    # service pipelines requests)
     with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
         list(ex.map(one, plan.combos))
 
@@ -619,7 +632,7 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
 def fuse_on_device(
     tiles: Sequence[Tile],
     order: Sequence[int],
-    probs: np.ndarray,
+    probs: np.ndarray | None,
     query_xyz: np.ndarray,
     is_wood: float,
     any_wood: float,
@@ -628,16 +641,21 @@ def fuse_on_device(
     verbose: bool = False,
     cluster_features: bool = False,
     plan: FusionPlan | None = None,
+    resident=None,
 ):
     """Fully device-side fusion for the dual-scale configs: per (fine,
     coarse) tile pair, one dispatch runs the union kNN, gathers the
     candidate probabilities from the pair's own probability vectors, and
-    reduces median + vote — no neighbor-index matrix is ever read back.
-    Tile points, probabilities, and the query cloud live on the device in
-    flat resident arrays uploaded once per plot; dispatches carry only
-    int32 metadata.
+    reduces median + vote. Dispatches carry 5 int32 per entry and read
+    nothing back; results accumulate on device and return in ONE packed
+    readback.
 
-    probs: (M,) classified wood probabilities in batcher order.
+    ``resident``: the FlatSink's (flat_xyz, flat_probs) device arrays —
+    the zero-upload path (``probs`` may then be None). Without it, the
+    flat arrays are built host-side at the plan's layout from ``probs``
+    ((M,) classified wood probabilities in tight batcher order) and
+    uploaded once.
+
     Returns (N, 2) [label, pwood], or None when this path does not apply
     (callers then use fusion_indices / the host search). Pass a pre-built
     ``plan`` (plan_fusion) to skip the host planning work here.
@@ -649,43 +667,48 @@ def fuse_on_device(
         return None
     k_out = 64 if any_wood == 1 else 32
     n_q = plan.n_q
+    lay = plan.layout
     if verbose and plan.n_near:
         print(f"fusion: nearest-tile assignment for {plan.n_near} uncovered "
               f"(query, scale) rows — fused on-device, no host search")
-    if verbose and plan.n_split:
-        print(f"fusion: {plan.n_split} queries on octant candidate subsets")
 
-    # resident upload: ONE shipment of tile points + probabilities + queries
-    fp = np.zeros(plan.mp, np.float32)
-    fp[: plan.m] = probs
-    qx = np.zeros((plan.nqp, 3), np.float32)
-    qx[:n_q] = query_xyz.astype(np.float32)  # NaN rows -> invalid -> inert
-    flat_xyz = jnp.asarray(plan.flat_xyz)
-    flat_probs = jnp.asarray(fp)
-    qxyz_dev = jnp.asarray(qx)
+    if resident is not None:
+        flat_xyz, flat_probs = resident
+        assert flat_xyz.shape[0] == lay.mp, \
+            "resident arrays do not match the plan's layout"
+    else:
+        assert probs is not None
+        fx = np.zeros((lay.mp, 3), np.float32)
+        fpb = np.zeros(lay.mp, np.float32)
+        toff = 0  # probs are in tight batcher order
+        for t in order:
+            o, l = int(lay.off[t]), int(lay.lens[t])
+            fx[o : o + l] = tiles[t].points[:, :3]
+            fpb[o : o + l] = probs[toff : toff + l]
+            toff += l
+        flat_xyz = jnp.asarray(fx)
+        flat_probs = jnp.asarray(fpb)
+
+    # queries ship once, pre-permuted into the plan's QCHUNK-aligned slots
+    qp = np.zeros((plan.nsp, 3), np.float32)
+    vm = plan.perm >= 0
+    qp[: plan.n_slots][vm] = query_xyz[plan.perm[vm]].astype(np.float32)
+    q_perm = jnp.asarray(qp)
+
+    acc = jnp.zeros(plan.nsp, jnp.float32)
+    for cap_f, cap_c, base, qlens, offf, lenf, offc, lenc in plan.dispatches:
+        acc = _fused_pair_knn(
+            acc, flat_xyz, flat_probs, q_perm, np.int32(base),
+            qlens, offf, lenf, offc, lenc, jnp.float32(is_wood),
+            jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c,
+        )
+    packed = np.asarray(acc)[: plan.n_slots]
 
     out = np.zeros((n_q, 2), np.float64)
-    inflight = []
-    for cap, batch in plan.dispatches:
-        q_idx = np.full((PAIR_GROUP, PAIR_QCHUNK), -1, np.int32)
-        cand_idx = np.full((PAIR_GROUP, cap), -1, np.int32)
-        for bi, (qs, cand) in enumerate(batch):
-            q_idx[bi, : qs.size] = qs
-            cand_idx[bi, : cand.size] = cand
-        res = _fused_pair_knn(
-            flat_xyz, flat_probs, qxyz_dev, jnp.asarray(q_idx),
-            jnp.asarray(cand_idx), jnp.float32(is_wood),
-            jnp.float32(any_wood), k_out, any_wood == 1,
-        )
-        inflight.append((batch, res))
-    for batch, (label, pwood) in inflight:
-        label = np.asarray(label)
-        pwood = np.asarray(pwood)
-        for bi, (qs, _) in enumerate(batch):
-            if qs.size == 0:
-                continue
-            out[qs, 0] = label[bi, : qs.size]
-            out[qs, 1] = pwood[bi, : qs.size]
+    label = (packed >= 2.0).astype(np.float64)
+    pwood = packed - 2.0 * label
+    out[plan.perm[vm], 0] = label[vm]
+    out[plan.perm[vm], 1] = pwood[vm]
     return out
 
 

@@ -179,32 +179,46 @@ def test_fusion_indices_host_fallback_when_unsupported(tiled_cloud):
     np.testing.assert_array_equal(np.sort(idx, 1), np.sort(host, 1))
 
 
-def test_split_candidate_subsets_match_full_union(tiled_cloud, monkeypatch):
-    """The dense-pair spatial candidate subsets (Morton-chunked queries,
-    margin-bounded candidate boxes) must not change fusion results beyond
-    the approx-kNN noise floor. The production SPLIT_THRESHOLD only fires
-    on >8192-row unions, so force the path on the test cloud and compare
-    against the same kernel WITHOUT splitting."""
-    from pointstowood_tpu.predict import tpu_fusion
-    from pointstowood_tpu.predict.tpu_fusion import fuse_on_device
+def test_flat_sink_matches_host_upload_path(tiled_cloud):
+    """The zero-upload path (FlatSink: flat arrays written on device from
+    the model phase's batches) must produce the same fusion output as the
+    host-upload fallback fed the same probabilities."""
+    import jax.numpy as jnp
+
+    from pointstowood_tpu.predict.tpu_fusion import (
+        FlatSink, fuse_on_device, layout_from_batches, plan_fusion,
+    )
 
     tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
-    # structured probability field (as a real model emits — near 0/1 with
-    # a boundary band); a uniform-random field would measure median noise,
-    # not the split path's fidelity
-    prob = (1 / (1 + np.exp(
-        (np.linalg.norm(classified_xyz[:, :2] - 3.0, axis=1) - 0.4) * 4
-    ))).astype(np.float32)
+    batcher = TileBatcher(
+        tiles, batch_size=4, min_pts=cfg.min_pts, max_pts=cfg.max_pts
+    )
 
-    ref = fuse_on_device(tiles, order, prob, query_xyz, 0.5, 1.0,
-                         cfg.min_pts, cfg.max_pts)
-    monkeypatch.setattr(tpu_fusion, "SPLIT_THRESHOLD", 1024)
-    monkeypatch.setattr(tpu_fusion, "SPLIT_MIN_CAND", 256)
-    plan = tpu_fusion.plan_fusion(tiles, order, query_xyz, cfg.min_pts,
-                                  cfg.max_pts)
-    assert plan.n_split > 0, "split path not exercised"
-    split = fuse_on_device(tiles, order, prob, query_xyz, 0.5, 1.0,
-                           cfg.min_pts, cfg.max_pts, plan=plan)
-    agree = (ref[:, 0] == split[:, 0]).mean()
-    assert agree > 0.98, f"split-vs-union label agreement {agree}"
-    assert np.abs(ref[:, 1] - split[:, 1]).mean() < 0.02
+    def prob_of(xyz):  # deterministic pseudo-model output
+        return (1 / (1 + np.exp(
+            (np.linalg.norm(xyz[:, :2] - 3.0, axis=1) - 0.4) * 4
+        ))).astype(np.float32)
+
+    # simulate run_inference's sink writes with the batch's device arrays
+    sink = FlatSink(layout_from_batches(tiles, batcher.batch_plan(), 4))
+    for cap, batch, _ in batcher:
+        world = batch.pos + batch.shift[:, None, :]
+        probs = prob_of(world.reshape(-1, 3)).reshape(world.shape[:2])
+        sink.write(jnp.asarray(batch.pos), batch.shift, jnp.asarray(probs))
+
+    plan = plan_fusion(tiles, order, query_xyz, cfg.min_pts, cfg.max_pts,
+                       layout=sink.layout)
+    fused_sink = fuse_on_device(
+        tiles, order, None, query_xyz, 0.5, 1.0, cfg.min_pts, cfg.max_pts,
+        plan=plan, resident=sink.arrays(),
+    )
+
+    tight_probs = prob_of(classified_xyz.astype(np.float32))
+    fused_host = fuse_on_device(
+        tiles, order, tight_probs, query_xyz, 0.5, 1.0,
+        cfg.min_pts, cfg.max_pts,
+    )
+    assert fused_sink is not None and fused_host is not None
+    np.testing.assert_array_equal(fused_sink[:, 0], fused_host[:, 0])
+    np.testing.assert_allclose(fused_sink[:, 1], fused_host[:, 1],
+                               atol=1e-6)
