@@ -206,7 +206,12 @@ def forward_benchmark():
         if remaining() < 60:
             log("forward: skipping further attempts, budget nearly spent")
             break
-        attempt_budget = max(remaining() - 120, 90) if i == 0 else 150
+        # first attempt: enough for a cold compile ladder (~200 s
+        # measured through the relay) but capped so ONE wedged compile
+        # still leaves budget for a warm retry AND the e2e phase (a
+        # wedge ate 420 s and skipped e2e when this was uncapped)
+        attempt_budget = (min(max(remaining() - 120, 90), 270)
+                          if i == 0 else 150)
         try:
             log(f"forward attempt {i + 1}: knn_method={method} "
                 f"(deadline {attempt_budget:.0f}s)")
