@@ -23,22 +23,68 @@ scatter_max over edge targets).
 
 from __future__ import annotations
 
+import functools
+import math
+
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from pointstowood_tpu.model.layers import RefMLP
 
+# Backward mode for gather_rows: the MXU one-hot-matmul scatter
+# (ops/pallas_scatter.py) replaces XLA's per-row-bound scatter-add in the
+# gather VJPs wherever the shapes block-align — the single largest
+# backward op class (SA2 17.4 + SA3 10.2 + FP 11.7 ms at the canonical
+# train shape, BASELINE.md). Default OFF until the A/B on real hardware
+# lands (scripts/train_step_profile.py, TSP_MXU_SCATTER=0/1).
+MXU_SCATTER = False
 
-def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Batched row gather via one flat global gather: arr (B, N, C),
-    idx (B, ...) -> (B, ..., C). Flattening to (B*N, C) with offset indices
-    is measurably faster than take_along_axis on TPU."""
+
+def _gather_impl(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     b, n, c = arr.shape
     flat_idx = idx.reshape(b, -1) + (
         jnp.arange(b, dtype=jnp.int32) * jnp.int32(n)
     )[:, None]
     out = arr.reshape(b * n, c)[flat_idx.reshape(-1)]
     return out.reshape(idx.shape + (c,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_rows_n(n: int, arr, idx):
+    return _gather_impl(arr, idx)
+
+
+def _gather_fwd(n, arr, idx):
+    return _gather_impl(arr, idx), idx
+
+
+def _gather_bwd(n, idx, ct):
+    from pointstowood_tpu.ops import pallas_scatter
+
+    b = idx.shape[0]
+    e = math.prod(idx.shape[1:])
+    c = ct.shape[-1]
+    ctf = ct.reshape(b, e, c)
+    idxf = idx.reshape(b, e)
+    if MXU_SCATTER and pallas_scatter.supported(e, n):
+        d_arr = pallas_scatter.scatter_add_rows(ctf, idxf, n)
+    else:  # XLA scatter-add fallback for non-block-aligned shapes
+        d_arr = jnp.zeros((b, n, c), ct.dtype).at[
+            jnp.arange(b, dtype=jnp.int32)[:, None], idxf
+        ].add(ctf)
+    return d_arr, None
+
+
+_gather_rows_n.defvjp(_gather_fwd, _gather_bwd)
+
+
+def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather via one flat global gather: arr (B, N, C),
+    idx (B, ...) -> (B, ..., C). Flattening to (B*N, C) with offset indices
+    is measurably faster than take_along_axis on TPU. The backward
+    scatter-adds ride the MXU (see MXU_SCATTER above)."""
+    return _gather_rows_n(arr.shape[1], arr, idx)
 
 
 # Backwards-compatible alias (older call sites / tests).
