@@ -259,6 +259,10 @@ class Net(nn.Module):
                 y, poss[lvl + 1], poss[lvl], k=self.fp_k,
                 source_mask=masks[lvl + 1], target_mask=masks[lvl],
                 chunk_size=self.knn_chunk, method=self.knn_method,
+                # fused-kernel dispatch bound (see knn_interpolate_batched):
+                # training includes the backward, where the fused kernel
+                # also wins at the FP2 source count
+                fused_max_sources=4096 if training else 2048,
             )
             y = RefMLP(widths, name=name, dtype=self.dtype)(
                 jnp.concatenate([interp.astype(self.dtype), xs[lvl]], axis=-1),

@@ -47,7 +47,10 @@ def knn_interpolate(
     return num / jnp.maximum(den, 1e-16)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "method"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "chunk_size", "method", "fused_max_sources"),
+)
 def knn_interpolate_batched(
     x: jax.Array,
     pos: jax.Array,
@@ -57,6 +60,7 @@ def knn_interpolate_batched(
     target_mask: jax.Array | None = None,
     chunk_size: int = 2048,
     method: str = "approx",
+    fused_max_sources: int = 2048,
 ) -> jax.Array:
     """Batched variant: x (B, S, C), pos (B, S, 3), target (B, T, 3) ->
     (B, T, C). The neighbor search is vmapped per sample (sources are
@@ -80,6 +84,23 @@ def knn_interpolate_batched(
     tmask = (
         jnp.ones(target_pos.shape[:2], bool) if target_mask is None else target_mask
     )
+    if k == 2 and method == "fast" and pos.shape[1] <= fused_max_sources:
+        from pointstowood_tpu.ops import pallas_interp
+
+        if pallas_interp.fused_supported(
+            target_pos.shape[1], pos.shape[1], x.shape[-1]
+        ):
+            # Fused threshold-select + weighted-sum kernel: no neighbor
+            # gather forward, no scatter-add VJP backward. Its dense
+            # (T, S) tile work scales quadratically, so it only wins on
+            # the smaller FP stages — measured on v5e (fwd+bwd, canonical
+            # train shapes): FP3 7.4 vs 10.0 ms, FP2 14.7 vs 16.2,
+            # FP1 41.1 vs 34.2 (scripts/interp_scatter_probe.py). The
+            # caller bounds dispatch via fused_max_sources: 4096 for
+            # training, 2048 for eval (FP2's fused FORWARD alone is
+            # slower than the gather path).
+            y = pallas_interp.fp_interpolate_fast(x, pos, target_pos, smask)
+            return jnp.where(tmask[..., None], y, 0)
     idx, _, valid = jax.vmap(search)(target_pos, pos, tmask, smask)
     gathered = gather_rows(
         jnp.concatenate([x.astype(jnp.float32), pos], axis=-1), idx

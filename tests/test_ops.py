@@ -390,3 +390,42 @@ def test_pallas_scatter_add_matches_numpy():
         pointconv.MXU_SCATTER = old
     np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_xla),
                                atol=1e-5)
+
+
+def test_fused_fp_interpolate_matches_exact(rng):
+    """The fused threshold-select interpolation kernel (ops/pallas_interp)
+    matches exact k=2 inverse-distance interpolation on almost all rows
+    (deviations only at top2 fold-collision rows, ~1/TOP2_GROUPS), zeroes
+    invalid targets, and its custom VJP matches the exact path's gradient
+    to the same tolerance. Runs through the Pallas interpreter on CPU."""
+    from pointstowood_tpu.ops import pallas_interp
+    from pointstowood_tpu.ops.interpolate import knn_interpolate_batched
+
+    b, s, t, c = 2, 2048, 512, 128
+    assert pallas_interp.fused_supported(t, s, c)
+    x = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 1, (b, s, 3)).astype(np.float32))
+    tpos = jnp.asarray(rng.uniform(-1, 1, (b, t, 3)).astype(np.float32))
+    smask = np.ones((b, s), bool)
+    smask[:, -64:] = False
+    smask = jnp.asarray(smask)
+
+    y_f = np.asarray(pallas_interp.fp_interpolate_fast(x, pos, tpos, smask))
+    y_e = np.asarray(knn_interpolate_batched(
+        x, pos, tpos, k=2, source_mask=smask, method="exact"))
+    dev = np.abs(y_f - y_e).max(axis=-1) / (np.abs(y_e).max(axis=-1) + 1e-3)
+    assert (dev > 0.02).mean() < 0.02, (dev > 0.02).mean()
+
+    # gradient parity vs the exact path (cotangent projection)
+    ct = jnp.asarray(rng.normal(size=(b, t, c)).astype(np.float32))
+    gf = jax.grad(lambda x: jnp.sum(
+        pallas_interp.fp_interpolate_fast(x, pos, tpos, smask) * ct))(x)
+    ge = jax.grad(lambda x: jnp.sum(knn_interpolate_batched(
+        x, pos, tpos, k=2, source_mask=smask, method="exact") * ct))(x)
+    gf, ge = np.asarray(gf), np.asarray(ge)
+    assert np.abs(gf - ge).sum() / np.abs(ge).sum() < 0.03
+
+    # all-masked sources -> zero output (the padded-tile chain)
+    none = jnp.asarray(np.zeros((b, s), bool))
+    y0 = pallas_interp.fp_interpolate_fast(x, pos, tpos, none)
+    assert float(jnp.abs(y0).max()) == 0.0
