@@ -79,12 +79,57 @@ def _gather_bwd(n, idx, ct):
 _gather_rows_n.defvjp(_gather_fwd, _gather_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_rows_deadtail(n: int, tail: int, arr, idx):
+    return _gather_impl(arr, idx)
+
+
+def _gather_deadtail_fwd(n, tail, arr, idx):
+    return _gather_impl(arr, idx), idx
+
+
+def _gather_deadtail_bwd(n, tail, idx, ct):
+    # The tail channels are geometry whose cotangent dead-ends at network
+    # inputs (positions are data, not parameters). When they ride a FUSED
+    # gather, XLA cannot prune them out of the single scatter-add the VJP
+    # emits — measured 26% of the SA2 scatter and 25% of SA3
+    # (scripts/gather_width_probe.py). Scatter only the live head; the
+    # zero tail below is a symbol XLA's slice-of-concat simplifier deletes.
+    b = idx.shape[0]
+    e = math.prod(idx.shape[1:])
+    c = ct.shape[-1]
+    ctf = ct[..., : c - tail].reshape(b, e, c - tail)
+    idxf = idx.reshape(b, e)
+    scat = jnp.zeros((b, n, c - tail), ct.dtype).at[
+        jnp.arange(b, dtype=jnp.int32)[:, None], idxf
+    ].add(ctf)
+    d_arr = jnp.concatenate(
+        [scat, jnp.zeros((b, n, tail), ct.dtype)], axis=-1
+    )
+    return d_arr, None
+
+
+_gather_rows_deadtail.defvjp(_gather_deadtail_fwd, _gather_deadtail_bwd)
+
+
 def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched row gather via one flat global gather: arr (B, N, C),
     idx (B, ...) -> (B, ..., C). Flattening to (B*N, C) with offset indices
     is measurably faster than take_along_axis on TPU. The backward
     scatter-adds ride the MXU (see MXU_SCATTER above)."""
     return _gather_rows_n(arr.shape[1], arr, idx)
+
+
+def gather_rows_deadtail(arr: jnp.ndarray, idx: jnp.ndarray,
+                         tail: int) -> jnp.ndarray:
+    """gather_rows for fused [features, geometry] rows whose last ``tail``
+    channels carry NO live gradient (positions / reflectance are network
+    inputs): the VJP scatter-adds only the feature head and returns zeros
+    for the tail. Callers must guarantee the tail cotangent is genuinely
+    dead — differentiating the tail through this op silently yields 0."""
+    if tail <= 0:
+        return _gather_rows_n(arr.shape[1], arr, idx)
+    return _gather_rows_deadtail(arr.shape[1], tail, arr, idx)
 
 
 # Backwards-compatible alias (older call sites / tests).
@@ -120,10 +165,16 @@ class PointConv(nn.Module):
                  stem_edge=None, sf=None):
         if x is None:
             src = pos4
+            # positions carry no live gradient; JAX prunes this gather's
+            # VJP entirely (pos4 is not a differentiated input)
+            gathered = gather_rows(src, nbr_idx)          # (B, S, k, 4)
         else:
-            # ONE fused gather for features + geometry.
+            # ONE fused gather for features + geometry. The 4 geometry
+            # channels carry no live gradient, so the VJP scatters only
+            # the feature head (26%/25% of the SA2/SA3 backward scatter,
+            # scripts/gather_width_probe.py).
             src = jnp.concatenate([x.astype(jnp.float32), pos4], axis=-1)
-        gathered = gather_rows(src, nbr_idx)              # (B, S, k, C_in+4)
+            gathered = gather_rows_deadtail(src, nbr_idx, tail=4)
         pos_j = gathered[..., -4:]
         pos_i = gather_rows(pos4, center_idx)             # (B, S, 4)
         # geometry in fp32 (relative positions of nearby points would lose

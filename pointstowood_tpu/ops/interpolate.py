@@ -102,11 +102,31 @@ def knn_interpolate_batched(
             y = pallas_interp.fp_interpolate_fast(x, pos, target_pos, smask)
             return jnp.where(tmask[..., None], y, 0)
     idx, _, valid = jax.vmap(search)(target_pos, pos, tmask, smask)
-    gathered = gather_rows(
-        jnp.concatenate([x.astype(jnp.float32), pos], axis=-1), idx
-    )  # (B, T, k, C+3)
-    feats = gathered[..., :-3].astype(x.dtype)
-    rel = gathered[..., -3:] - target_pos[:, :, None, :]
+    if x.dtype == jnp.bfloat16:
+        # Packed-bf16 fused gather: wide-row gathers are byte-limited well
+        # below HBM bandwidth (scripts/gather_width_probe.py: 9.7 -> 6.1 ms
+        # at the FP1 shape), so carry the features in their native bf16 and
+        # the fp32 positions as exact bf16 hi/lo channel pairs
+        # (reconstruction error <= |pos| * 2^-17, far inside the bf16
+        # message quantization the features already see). The 6 geometry
+        # channels carry no live gradient -> dead-tail VJP scatters only
+        # the bf16 feature head (12.6 -> 10.3 ms).
+        from pointstowood_tpu.model.pointconv import gather_rows_deadtail
+
+        hi = pos.astype(jnp.bfloat16)
+        lo = (pos - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        packed = jnp.concatenate([x, hi, lo], axis=-1)  # (B, S, C+6) bf16
+        gathered = gather_rows_deadtail(packed, idx, tail=6)
+        feats = gathered[..., :-6]
+        pos_j = (gathered[..., -6:-3].astype(jnp.float32)
+                 + gathered[..., -3:].astype(jnp.float32))
+    else:
+        gathered = gather_rows(
+            jnp.concatenate([x.astype(jnp.float32), pos], axis=-1), idx
+        )  # (B, T, k, C+3)
+        feats = gathered[..., :-3].astype(x.dtype)
+        pos_j = gathered[..., -3:]
+    rel = pos_j - target_pos[:, :, None, :]
     d2 = jnp.sum(rel * rel, axis=-1)
     d2 = jnp.where(valid, d2, jnp.inf)
     w = 1.0 / jnp.maximum(d2, 1e-16)

@@ -429,3 +429,77 @@ def test_fused_fp_interpolate_matches_exact(rng):
     none = jnp.asarray(np.zeros((b, s), bool))
     y0 = pallas_interp.fp_interpolate_fast(x, pos, tpos, none)
     assert float(jnp.abs(y0).max()) == 0.0
+
+
+def test_gather_rows_deadtail_grads(rng):
+    """gather_rows_deadtail: identical forward to gather_rows; its VJP
+    scatters only the feature head (identical head gradient) and returns
+    exactly zero for the declared-dead geometry tail."""
+    import jax
+
+    from pointstowood_tpu.model.pointconv import (
+        gather_rows,
+        gather_rows_deadtail,
+    )
+
+    b, n, e, c, tail = 2, 64, 37, 12, 4
+    arr = jnp.asarray(rng.normal(size=(b, n, c + tail)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, e, 3)).astype(np.int32))
+    ct = jnp.asarray(
+        rng.normal(size=(b, e, 3, c + tail)).astype(np.float32))
+
+    fwd_a = np.asarray(gather_rows_deadtail(arr, idx, tail=tail))
+    fwd_b = np.asarray(gather_rows(arr, idx))
+    np.testing.assert_array_equal(fwd_a, fwd_b)
+
+    g_dead = jax.grad(lambda a: jnp.sum(
+        gather_rows_deadtail(a, idx, tail=tail) * ct))(arr)
+    g_full = jax.grad(lambda a: jnp.sum(gather_rows(a, idx) * ct))(arr)
+    g_dead, g_full = np.asarray(g_dead), np.asarray(g_full)
+    np.testing.assert_allclose(
+        g_dead[..., :c], g_full[..., :c], rtol=1e-6, atol=1e-6)
+    assert np.all(g_dead[..., c:] == 0.0)
+    assert np.any(g_full[..., c:] != 0.0)  # the tail grad really was live
+
+    # tail=0 degrades to the plain gather (full gradient)
+    g0 = np.asarray(jax.grad(lambda a: jnp.sum(
+        gather_rows_deadtail(a, idx, tail=0) * ct))(arr))
+    np.testing.assert_allclose(g0, g_full, rtol=1e-6, atol=1e-6)
+
+
+def test_knn_interpolate_batched_bf16_packed(rng):
+    """The packed-bf16 gather path (feats bf16 + hi/lo position pairs)
+    matches the fp32 gather path within bf16 tolerance, and feature
+    gradients flow (in bf16) with the same structure."""
+    import jax
+
+    from pointstowood_tpu.ops.interpolate import knn_interpolate_batched
+
+    b, s, t, c = 2, 64, 48, 8
+    x32 = rng.normal(size=(b, s, c)).astype(np.float32)
+    src = rng.uniform(-2, 2, (b, s, 3)).astype(np.float32)
+    tgt = np.concatenate(
+        [src[:, : t // 2], rng.uniform(-2, 2, (b, t - t // 2, 3))], axis=1
+    ).astype(np.float32)  # half the targets coincide with sources
+    smask = np.ones((b, s), bool)
+    smask[1, -10:] = False
+
+    args = dict(k=2, source_mask=jnp.asarray(smask), chunk_size=16,
+                method="exact")
+    y32 = np.asarray(knn_interpolate_batched(
+        jnp.asarray(x32), jnp.asarray(src), jnp.asarray(tgt), **args))
+    x16 = jnp.asarray(x32).astype(jnp.bfloat16)
+    y16 = np.asarray(knn_interpolate_batched(
+        x16, jnp.asarray(src), jnp.asarray(tgt), **args)).astype(np.float32)
+    scale = np.abs(y32).max()
+    np.testing.assert_allclose(y16, y32, atol=0.03 * scale)
+
+    g16 = jax.grad(lambda xx: jnp.sum(knn_interpolate_batched(
+        xx, jnp.asarray(src), jnp.asarray(tgt), **args
+    ).astype(jnp.float32)))(x16)
+    g32 = jax.grad(lambda xx: jnp.sum(knn_interpolate_batched(
+        xx, jnp.asarray(src), jnp.asarray(tgt), **args)))(jnp.asarray(x32))
+    g16 = np.asarray(g16).astype(np.float32)
+    g32 = np.asarray(g32)
+    gs = np.abs(g32).max()
+    np.testing.assert_allclose(g16, g32, atol=0.05 * gs)
