@@ -163,11 +163,27 @@ class PointConv(nn.Module):
     def __call__(self, x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
                  radius=None, use_running_average: bool = False,
                  stem_edge=None, sf=None):
+        x_j = None
         if x is None:
-            src = pos4
             # positions carry no live gradient; JAX prunes this gather's
             # VJP entirely (pos4 is not a differentiated input)
-            gathered = gather_rows(src, nbr_idx)          # (B, S, k, 4)
+            gathered = gather_rows(pos4, nbr_idx)         # (B, S, k, 4)
+            pos_j = gathered
+        elif x.dtype == jnp.bfloat16 and x.shape[-1] >= 256:
+            # Packed-bf16 fused gather for the wide stages: beyond ~1 KB
+            # rows the gather is byte-limited well below HBM bandwidth
+            # (scripts/gather_width_probe.py: SA3 6.5 -> 5.4 ms), so carry
+            # features natively bf16 and the fp32 geometry as exact bf16
+            # hi/lo channel pairs. Reconstruction error <= |pos| * 2^-17
+            # in the scaled frame — inside the bf16 quantization the
+            # message sees anyway. fp32 mode keeps the exact path below.
+            hi = pos4.astype(jnp.bfloat16)
+            lo = (pos4 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            packed = jnp.concatenate([x, hi, lo], axis=-1)
+            gathered = gather_rows_deadtail(packed, nbr_idx, tail=8)
+            x_j = gathered[..., :-8]                      # (B, S, k, C_in)
+            pos_j = (gathered[..., -8:-4].astype(jnp.float32)
+                     + gathered[..., -4:].astype(jnp.float32))
         else:
             # ONE fused gather for features + geometry. The 4 geometry
             # channels carry no live gradient, so the VJP scatters only
@@ -175,7 +191,8 @@ class PointConv(nn.Module):
             # scripts/gather_width_probe.py).
             src = jnp.concatenate([x.astype(jnp.float32), pos4], axis=-1)
             gathered = gather_rows_deadtail(src, nbr_idx, tail=4)
-        pos_j = gathered[..., -4:]
+            x_j = gathered[..., :-4].astype(self.dtype)   # (B, S, k, C_in)
+            pos_j = gathered[..., -4:]
         pos_i = gather_rows(pos4, center_idx)             # (B, S, 4)
         # geometry in fp32 (relative positions of nearby points would lose
         # ~all precision in bf16); the MLP compute runs in self.dtype.
@@ -206,11 +223,11 @@ class PointConv(nn.Module):
                 pos_un, use_running_average=use_running_average
             ).astype(self.dtype)
             msg = jnp.concatenate([x_j, geo, refl_j], axis=-1)
-        elif x is None:
+        elif x_j is None:
             msg = jnp.concatenate([geo, refl_j], axis=-1)
         else:
-            x_j = gathered[..., :-4].astype(self.dtype)   # (B, S, k, C_in)
-            msg = jnp.concatenate([x_j, geo, refl_j], axis=-1)
+            msg = jnp.concatenate([x_j.astype(self.dtype), geo, refl_j],
+                                  axis=-1)
         msg = RefMLP(self.channels, name="local_nn", dtype=self.dtype)(
             msg, mask=nbr_valid, use_running_average=use_running_average
         )

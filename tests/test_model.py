@@ -228,3 +228,36 @@ def test_param_count_matches_reference_formula():
     expected += mlp((17 * c, 16 * c, 16 * c))
     expected += lin(16 * c, 16 * c) + bn(16 * c) + lin(16 * c, 1)
     assert n_params == expected
+
+
+def test_pointconv_packed_bf16_gather_matches_fp32():
+    """The packed-bf16 fused gather (wide stages, C_in >= 256) matches the
+    fp32-gather formulation within bf16 tolerance: hi/lo position
+    reconstruction error is far inside the bf16 message quantization."""
+    import jax
+    import numpy as np
+
+    from pointstowood_tpu.model.pointconv import PointConv
+
+    rng = np.random.default_rng(3)
+    b, n, s, k, c_in = 2, 64, 16, 4, 256
+    x32 = jnp.asarray(rng.normal(size=(b, n, c_in)).astype(np.float32))
+    pos4 = jnp.asarray(
+        rng.uniform(-1, 1, (b, n, 4)).astype(np.float32))
+    center_idx = jnp.asarray(rng.integers(0, n, (b, s)).astype(np.int32))
+    nbr_idx = jnp.asarray(rng.integers(0, n, (b, s, k)).astype(np.int32))
+    nbr_valid = jnp.asarray(np.ones((b, s, k), bool))
+    center_valid = jnp.asarray(np.ones((b, s), bool))
+
+    def run(dtype, x):
+        conv = PointConv((c_in + 4, 32, 32), dtype=dtype)
+        v = conv.init(jax.random.key(0), x, pos4, center_idx, nbr_idx,
+                      nbr_valid, center_valid, use_running_average=True)
+        return np.asarray(conv.apply(
+            v, x, pos4, center_idx, nbr_idx, nbr_valid, center_valid,
+            use_running_average=True).astype(jnp.float32))
+
+    y32 = run(jnp.float32, x32)          # fp32 fused-gather path
+    y16 = run(jnp.bfloat16, x32.astype(jnp.bfloat16))  # packed path
+    scale = np.abs(y32).max()
+    np.testing.assert_allclose(y16, y32, atol=0.05 * scale)
