@@ -46,6 +46,10 @@ class Tile:
     # back from disk); lets the TPU fusion path map original points back
     # to the tile that classified them
     cell_id: int = -1
+    # original-cloud row per tile row (None = unknown, e.g. legacy disk
+    # caches); lets fusion read query coordinates straight from the
+    # device-resident tile arrays instead of re-uploading them
+    indices: np.ndarray | None = None
 
     def __len__(self):
         return self.points.shape[0]
@@ -158,12 +162,13 @@ def preprocess_cloud(
                     cell_idx = cell_idx[
                         rng.integers(0, cell_idx.shape[0], size=config.max_pts)
                     ]
-            tile = data[cell_idx]
-            tile = tile[~np.isnan(tile).any(axis=1)]
-            if tile.shape[0] == 0:
+            keep = ~np.isnan(data[cell_idx]).any(axis=1)
+            cell_idx = cell_idx[keep]
+            if cell_idx.shape[0] == 0:
                 continue
-            tiles.append(Tile(points=tile, grid_size=float(size),
-                              cell_id=int(cid)))
+            tiles.append(Tile(points=data[cell_idx], grid_size=float(size),
+                              cell_id=int(cid),
+                              indices=cell_idx.astype(np.int64)))
 
     if vxdir is not None:
         os.makedirs(vxdir, exist_ok=True)
@@ -185,6 +190,11 @@ def preprocess_cloud(
                     dtype=[("grid_size", "f8"), ("cell_id", "i8")],
                 ),
             )
+            if t.indices is not None:
+                np.save(
+                    os.path.join(vxdir, f"voxel_{start + i}.indices.npy"),
+                    t.indices,
+                )
     return tiles
 
 
@@ -203,6 +213,8 @@ def load_tiles(vxdir: str) -> List[Tile]:
             m = np.load(meta)
             grid_size = float(m["grid_size"][0])
             cell_id = int(m["cell_id"][0])
+        idx_file = f[: -len(".npy")] + ".indices.npy"
+        indices = np.load(idx_file) if os.path.exists(idx_file) else None
         tiles.append(Tile(points=np.load(f), grid_size=grid_size,
-                          cell_id=cell_id))
+                          cell_id=cell_id, indices=indices))
     return tiles

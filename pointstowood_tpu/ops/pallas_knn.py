@@ -210,6 +210,117 @@ def member_index(gidx: jax.Array, slot: jax.Array, n: int, g: int):
     return (gidx // npg) * jnp.int32(n_block) + slot * npg + (gidx % npg)
 
 
+PAYLOAD_BITS = 10  # quantized-probability payload (fusion pair kernel)
+_PAYLOAD_BIG = 3.0e38  # masked-source clamp (inf | payload would be NaN)
+
+
+def _make_payload_kernel(g: int, n_groups: int, n: int):
+    n_half = n // _HALVES
+    blocks_per_half = g // _HALVES
+
+    def dot_f32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def kernel(q_ref, st_ref, pen_ref, pay_ref, gmin_ref):
+        # Same distance pipeline as the group-min kernel (bf16x3 split
+        # product), but the min-tree carries each source column's PAYLOAD
+        # (a PAYLOAD_BITS uint, e.g. a quantized fusion probability)
+        # instead of the member slot, and the fold compares RAW distances
+        # (payload packing adds zero ranking noise inside the kernel;
+        # only the stage-2 top-k sees the <= 2^PAYLOAD_BITS-ulp packed
+        # values). The selected value IS the answer — downstream never
+        # needs a gather, which measured as expensive as the whole kNN
+        # (scripts/fusion_pair_probe.py: the (Q, 64) probability element
+        # gather costs ~10.7 ms of a 25 ms fusion dispatch).
+        qb = q_ref[:]
+        big = 3.0e38
+        m = None
+        pay = None
+        for h in range(_HALVES):
+            lo_h = h * n_half
+            sth = st_ref[:, lo_h : lo_h + n_half]
+            ah = qb.astype(jnp.bfloat16)
+            al = (qb - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = sth.astype(jnp.bfloat16)
+            bl = (sth - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = (dot_f32(ah, bh) + (dot_f32(ah, bl) + dot_f32(al, bh))
+                 ) + pen_ref[:, lo_h : lo_h + n_half]
+            d = jnp.minimum(d, big)  # masked +inf -> finite sentinel
+            for a in range(blocks_per_half):
+                da = d[:, a * n_groups : (a + 1) * n_groups]
+                # (1, n_groups) column payloads of this member block
+                pa = pay_ref[
+                    :, lo_h + a * n_groups : lo_h + (a + 1) * n_groups
+                ]
+                if m is None:
+                    m = da
+                    pay = jnp.broadcast_to(pa, da.shape)
+                else:
+                    upd = da < m
+                    m = jnp.where(upd, da, m)
+                    pay = jnp.where(upd, pa, pay)
+        bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+        packed = ((bits >> PAYLOAD_BITS) << PAYLOAD_BITS) | pay
+        gmin_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def group_min_payload(q: jax.Array, s: jax.Array, penalty: jax.Array,
+                      payload: jax.Array, g: int):
+    """Per (query, group): min selection value with the winning source's
+    PAYLOAD packed into its low PAYLOAD_BITS mantissa bits.
+
+    q: (Q, 3) fp32 (Q a multiple of QUERY_BLOCK); s: (N, 3) fp32;
+    penalty: (N,) = ||s||^2, +inf at masked rows; payload: (N,) uint32
+    < 2^PAYLOAD_BITS. Returns gmin (Q, N/g) fp32: values rank like the
+    true distances to <= 2^PAYLOAD_BITS ulp (relative ~2^-13 — noise only
+    among near-exact distance ties); masked-only groups come back clamped
+    near fp32-max (> 1e38), NOT +inf. Select with approx_min_k, then
+    ``unpack_payload`` — no index, no gather."""
+    n = s.shape[0]
+    n_block = _n_block(n)
+    npg = n_block // g
+    q_n = q.shape[0]
+    q4 = jnp.concatenate([q, jnp.zeros((q_n, 1), jnp.float32)], axis=1)
+    st = jnp.concatenate(
+        [(-2.0) * s.T, jnp.ones((1, n), jnp.float32)], axis=0
+    )
+    pen = penalty[None, :]
+    payr = payload.astype(jnp.uint32)[None, :]
+    grid = (q_n // QUERY_BLOCK, n // n_block)
+    interpret = jax.devices()[0].platform == "cpu"
+    gmin = pl.pallas_call(
+        _make_payload_kernel(g, npg, n_block),
+        out_shape=jax.ShapeDtypeStruct((q_n, n // g), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((QUERY_BLOCK, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((QUERY_BLOCK, npg), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q4, st, pen, payr)
+    return gmin
+
+
+def unpack_payload(vals: jax.Array) -> jax.Array:
+    """Recover the payload from packed selection values."""
+    bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    return (bits & jnp.uint32((1 << PAYLOAD_BITS) - 1)).astype(jnp.int32)
+
+
 TOP2_GROUPS = 256
 TOP2_QUERY_BLOCK = 256  # larger blocks amortize per-grid-step overhead;
 # 512 blew the 16 MB scoped-VMEM limit (the bf16x3 partial products keep

@@ -288,6 +288,8 @@ def semantic_segmentation(
         # dispatch, nothing but the packed result buffer read back); the
         # index-based TPU path covers the configurations it declines
         plan = plan_future.result() if plan_future is not None else None
+        if verbose:
+            print(f"fusion: plan wait {time.perf_counter() - t1:.2f}s")
         fused = fuse_on_device(
             tiles, order,
             None if sink is not None
@@ -298,6 +300,9 @@ def semantic_segmentation(
             cluster_features=cluster_features, plan=plan,
             resident=sink.arrays() if sink is not None else None,
         )
+        if verbose:
+            print(f"fusion: fuse_on_device done at "
+                  f"+{time.perf_counter() - t1:.2f}s")
         if fused is None:
             indices = fusion_indices(
                 tiles, order, source_xyz, query_xyz, k, tiling_cfg.min_pts,

@@ -30,9 +30,13 @@ dominate plot-scale fusion. Three rules follow:
   positions and freshly computed probabilities are written into donated
   flat buffers at the batch's static layout offset) — the tile points
   are never re-uploaded and the probabilities are never read back;
-* the query cloud ships ONCE, pre-permuted into per-entry QCHUNK-aligned
-  slots, so each dispatch carries only 5 int32 scalars per entry
-  (query count + fine/coarse region offset/length);
+* queries are mostly NOT shipped at all: a query point that survived
+  tiling IS a row of its fine tile, and tiles carry their original-row
+  indices (Tile.indices), so whole-tile query chunks read their
+  coordinates straight from the resident flat array; only the rows the
+  tiling dropped (subsampled-out, min_pts) upload as a small extras
+  tail. Each dispatch then carries only 6 int32 scalars per entry
+  (query offset/count + fine/coarse region offset/length);
 * every dispatch accumulates its (label, pwood) — packed into ONE f32
   as pwood + 2*label — into a donated device buffer; a single readback
   at the end returns all results.
@@ -295,18 +299,22 @@ def tile_knn_indices(
     static_argnames=("k_out", "any_wood_is_one", "cap_f", "cap_c"),
     donate_argnums=(0,),
 )
-def _fused_pair_knn(acc, flat_xyz, flat_probs, q_perm, base, qlens,
+def _fused_pair_knn(acc, all_q, flat_probs, base, q_off, qlens,
                     off_f, len_f, off_c, len_c, is_wood, any_wood,
                     k_out, any_wood_is_one, cap_f, cap_c):
     """kNN against a (fine, coarse) tile pair AND the median/vote fusion
     in one dispatch, reading everything from DEVICE-RESIDENT arrays:
     tile points/probabilities from the flat layout (written on device by
     FlatSink during the model phase, or uploaded once by the fallback),
-    queries from the pre-permuted q_perm (entry i of this dispatch owns
-    slots [base + i*QCHUNK, base + (i+1)*QCHUNK)). The dispatch uploads
-    only 5 int32 per entry and reads back NOTHING — results accumulate
-    into the donated ``acc`` buffer (one f32 per slot: pwood + 2*label),
-    read back once after all dispatches.
+    queries from per-entry slices of ``all_q`` = [flat tile xyz | uploaded
+    extras]: entry i reads PAIR_QCHUNK query rows at ``q_off[i]`` — for
+    most queries that offset points INTO the flat tile region (the query
+    IS a classified tile point, so its coordinates never leave the
+    device); only rows the tiling dropped (subsampled-out, min_pts) ride
+    the uploaded extras tail. The dispatch uploads only 6 int32 per entry
+    and reads back NOTHING — results accumulate into the donated ``acc``
+    buffer at slots [base + i*QCHUNK, base + (i+1)*QCHUNK) (one f32 per
+    slot: pwood + 2*label), read back once after all dispatches.
 
     ONE kNN over the fine+coarse UNION (each physical point appears once
     per scale, with that scale's probability) selects the k_out nearest
@@ -323,26 +331,49 @@ def _fused_pair_knn(acc, flat_xyz, flat_probs, q_perm, base, qlens,
     iota_f = jnp.arange(cap_f, dtype=jnp.int32)
     iota_c = jnp.arange(cap_c, dtype=jnp.int32)
     iota_q = jnp.arange(PAIR_QCHUNK, dtype=jnp.int32)
-    qq_all = jax.lax.dynamic_slice(
-        q_perm, (base, 0), (PAIR_GROUP * PAIR_QCHUNK, 3)
-    ).reshape(PAIR_GROUP, PAIR_QCHUNK, 3)
 
-    def per(qq, ql, of, lf, oc, lc):
+    from pointstowood_tpu.ops import pallas_knn
+
+    n_union = cap_f + cap_c
+    g_pay = pallas_knn.supported(n_union, k_out)
+
+    def per(qo, ql, of, lf, oc, lc):
+        qq = jax.lax.dynamic_slice(all_q, (qo, 0), (PAIR_QCHUNK, 3))
         qv = iota_q < ql
         s = jnp.concatenate([
-            jax.lax.dynamic_slice(flat_xyz, (of, 0), (cap_f, 3)),
-            jax.lax.dynamic_slice(flat_xyz, (oc, 0), (cap_c, 3)),
+            jax.lax.dynamic_slice(all_q, (of, 0), (cap_f, 3)),
+            jax.lax.dynamic_slice(all_q, (oc, 0), (cap_c, 3)),
         ])
         pu = jnp.concatenate([
             jax.lax.dynamic_slice(flat_probs, (of,), (cap_f,)),
             jax.lax.dynamic_slice(flat_probs, (oc,), (cap_c,)),
         ])
         sm = jnp.concatenate([iota_f < lf, iota_c < lc])
-        i, _, vm = knn_masked(
-            qq, s, k=k_out, query_mask=qv, source_mask=sm, method="fast",
-            recall_target=FUSION_RECALL, with_dist=False,
-        )
-        p = pu[i]  # (Q, k_out)
+        if g_pay:
+            # payload-packed selection: the winning source's quantized
+            # probability rides the distance value's low mantissa bits —
+            # no index, no (Q, k) probability gather (which measured as
+            # expensive as the kNN itself, scripts/fusion_pair_probe.py).
+            # Quantization: 10 bits -> |d pwood| <= 5e-4, far inside the
+            # median/vote's tile-border tolerance.
+            pmax = jnp.float32((1 << pallas_knn.PAYLOAD_BITS) - 1)
+            pay = jnp.round(
+                jnp.clip(pu, 0.0, 1.0) * pmax
+            ).astype(jnp.uint32)
+            pen = jnp.sum(s * s, axis=1) + jnp.where(sm, 0.0, jnp.inf)
+            gmin = pallas_knn.group_min_payload(qq, s, pen, pay, g_pay)
+            vals, _ = jax.lax.approx_min_k(
+                gmin, k_out, recall_target=FUSION_RECALL
+            )
+            vm = (vals < 1e38) & qv[:, None]
+            p = pallas_knn.unpack_payload(vals).astype(jnp.float32) / pmax
+        else:
+            i, _, vm = knn_masked(
+                qq, s, k=k_out, query_mask=qv, source_mask=sm,
+                method="fast", recall_target=FUSION_RECALL,
+                with_dist=False,
+            )
+            p = pu[i]  # (Q, k_out)
         # masked median: sort valid probabilities to the front, average the
         # two middle ranks of the VALID count (np.median semantics)
         cnt = vm.sum(axis=1)
@@ -363,7 +394,7 @@ def _fused_pair_knn(acc, flat_xyz, flat_probs, q_perm, base, qlens,
             label = jnp.any(vm & (c > any_wood), axis=1).astype(jnp.float32)
         return label, pwood
 
-    label, pwood = jax.vmap(per)(qq_all, qlens, off_f, len_f, off_c, len_c)
+    label, pwood = jax.vmap(per)(q_off, qlens, off_f, len_f, off_c, len_c)
     # pack both outputs into one f32 (pwood keeps 21 mantissa bits): the
     # readback is half the bytes on a ~10 MB/s link
     packed = (pwood + 2.0 * label).reshape(PAIR_GROUP * PAIR_QCHUNK)
@@ -470,19 +501,25 @@ class FusionPlan:
     with the model phase."""
 
     __slots__ = ("layout", "n_q", "n_slots", "nsp", "perm", "dispatches",
-                 "combos", "n_near")
+                 "combos", "n_near", "extra_perm", "ecap")
 
     def __init__(self, layout, n_q, n_slots, nsp, perm, dispatches,
-                 combos, n_near):
+                 combos, n_near, extra_perm, ecap):
         self.layout = layout
         self.n_q = n_q
         self.n_slots = n_slots  # used permuted query slots
         self.nsp = nsp          # padded slots (power-of-two device arrays)
         self.perm = perm        # (n_slots,) int64 slot -> query row, -1 pad
-        # [(cap_f, cap_c, base, qlens, off_f, len_f, off_c, len_c)]
+        # [(cap_f, cap_c, base, q_off, qlens, off_f, len_f, off_c, len_c)]
         self.dispatches = dispatches
         self.combos = combos    # sorted {(cap_f, cap_c)} present
         self.n_near = n_near    # (query, scale) rows on nearest-tile fill
+        # query rows whose coordinates must UPLOAD (everything else reads
+        # straight from the device-resident flat tile arrays): rows the
+        # tiling dropped (subsample/min_pts/legacy tiles without indices),
+        # laid out in PAIR_QCHUNK-aligned extras slots (-1 = padding)
+        self.extra_perm = extra_perm
+        self.ecap = ecap        # padded extras rows appended after flat
 
 
 def plan_fusion(
@@ -546,11 +583,18 @@ def plan_fusion(
             tile_of[miss, si] = np.asarray(scale_tiles, np.int64)[nn]
 
     # group queries by (fine, coarse) pair, chunk into QCHUNK entries,
-    # bucket entries by the pair's static flat-region sizes
+    # bucket entries by the pair's static flat-region sizes. Rows that ARE
+    # rows of the pair's fine tile need no coordinate upload at all: the
+    # tile's flat region holds them in tile-row order, so whole-tile-chunk
+    # entries read queries straight from the flat array (resident_qoff);
+    # only the remainder (subsampled-out / min_pts-dropped / legacy tiles
+    # without indices) rides the uploaded extras tail.
     keys = tile_of[:, 0] * (len(tiles) + 1) + tile_of[:, 1]
     qorder = np.argsort(keys, kind="stable")
     bounds = np.flatnonzero(np.diff(keys[qorder])) + 1
-    by_combo = {}  # (cap_f, cap_c) -> [(qs, off_f, len_f, off_c, len_c)]
+    mark = np.zeros(n_q, bool)
+    # (cap_f, cap_c) -> [(qs, resident_qoff | -1, off_f, len_f, off_c, len_c)]
+    by_combo = {}
     for grp in np.split(qorder, bounds):
         if grp.size == 0 or tile_of[grp[0], 0] < 0:
             continue  # non-finite rows: no plan entry, fuse to inert zeros
@@ -559,17 +603,45 @@ def plan_fusion(
         meta = (int(layout.off[tf]), int(layout.lens[tf]),
                 int(layout.off[tc]), int(layout.lens[tc]))
         lst = by_combo.setdefault(combo, [])
-        for s0 in range(0, grp.size, PAIR_QCHUNK):
-            lst.append((grp[s0 : s0 + PAIR_QCHUNK],) + meta)
+        ti = tiles[tf].indices
+        # residency needs every tile row mapped to THIS group (grids that
+        # don't nest, or a nearest-tile fill, break that — then the whole
+        # group uploads); duplicated rows (with-replacement subsampling)
+        # fuse to the same value twice, which the unpermute tolerates
+        resident = (
+            ti is not None and ti.size == int(layout.lens[tf])
+            and ti.size > 0
+            and bool((ti >= 0).all()) and bool((ti < n_q).all())
+            and bool((tile_of[ti, 0] == tf).all())
+            and bool((tile_of[ti, 1] == tc).all())
+        )
+        # residency can pad up to one extra PAIR_QCHUNK entry per group
+        # (the leftover rows), but an extra entry costs only ~4 KB of
+        # readback + trivial kNN compute while uploading the group costs
+        # 12 B/row — resident always wins on bytes moved
+        rest = grp
+        if resident:
+            mark[ti] = True
+            rest = grp[~mark[grp]]
+            mark[ti] = False
+            for s0 in range(0, ti.size, PAIR_QCHUNK):
+                lst.append((ti[s0 : s0 + PAIR_QCHUNK],
+                            int(layout.off[tf]) + s0) + meta)
+        for s0 in range(0, rest.size, PAIR_QCHUNK):
+            lst.append((rest[s0 : s0 + PAIR_QCHUNK], -1) + meta)
 
-    # assemble dispatches: entry i of dispatch d owns permuted query slots
-    # [base_d + i*QCHUNK, base_d + (i+1)*QCHUNK); the permutation is the
-    # entry order itself, so dispatch payloads are 5 int32 per entry and
-    # the accumulated results read back in one contiguous buffer
+    # assemble dispatches: entry i of dispatch d owns result slots
+    # [base_d + i*QCHUNK, base_d + (i+1)*QCHUNK) and reads its queries at
+    # q_off (flat region for resident entries, extras tail otherwise), so
+    # dispatch payloads are 6 int32 per entry and the accumulated results
+    # read back in one contiguous buffer
     dispatches = []
     perm_parts = []
+    extra_parts = []
     base = 0
-    empty = (np.zeros(0, np.int64), 0, 0, 0, 0)
+    n_extra = 0
+    mp = layout.mp
+    empty = (np.zeros(0, np.int64), -1, 0, 0, 0, 0)
     for combo in sorted(by_combo):
         entries = by_combo[combo]
         for g0 in range(0, len(entries), PAIR_GROUP):
@@ -577,24 +649,39 @@ def plan_fusion(
             while len(batch) < PAIR_GROUP:
                 batch = batch + [empty]
             qlens = np.array([e[0].size for e in batch], np.int32)
-            offf = np.array([e[1] for e in batch], np.int32)
-            lenf = np.array([e[2] for e in batch], np.int32)
-            offc = np.array([e[3] for e in batch], np.int32)
-            lenc = np.array([e[4] for e in batch], np.int32)
-            for qs, *_ in batch:
+            qoffs = np.zeros(PAIR_GROUP, np.int32)
+            offf = np.array([e[2] for e in batch], np.int32)
+            lenf = np.array([e[3] for e in batch], np.int32)
+            offc = np.array([e[4] for e in batch], np.int32)
+            lenc = np.array([e[5] for e in batch], np.int32)
+            for bi, (qs, ro, *_rest) in enumerate(batch):
                 slot = np.full(PAIR_QCHUNK, -1, np.int64)
                 slot[: qs.size] = qs
                 perm_parts.append(slot)
+                if qs.size == 0:
+                    qoffs[bi] = 0  # fully masked; any in-bounds offset
+                elif ro >= 0:
+                    qoffs[bi] = ro
+                else:
+                    qoffs[bi] = mp + n_extra * PAIR_QCHUNK
+                    n_extra += 1
+                    extra_parts.append(slot)
             dispatches.append(
-                (combo[0], combo[1], base, qlens, offf, lenf, offc, lenc)
+                (combo[0], combo[1], base, qoffs, qlens, offf, lenf, offc,
+                 lenc)
             )
             base += PAIR_GROUP * PAIR_QCHUNK
 
     perm = (np.concatenate(perm_parts) if perm_parts
             else np.zeros(0, np.int64))
+    extra_perm = (np.concatenate(extra_parts) if extra_parts
+                  else np.zeros(0, np.int64))
+    # the extras tail is at least PAIR_QCHUNK rows so a resident slice at
+    # the very end of the flat array (q_off < mp) can never clamp
+    ecap = max(_next_cap(max(extra_perm.size, 1)), PAIR_QCHUNK)
     return FusionPlan(
         layout, n_q, base, max(_next_cap(base), 2048), perm, dispatches,
-        sorted(by_combo), n_near,
+        sorted(by_combo), n_near, extra_perm, ecap,
     )
 
 
@@ -608,17 +695,16 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
 
     k_out = 64 if any_wood == 1 else 32
     mp = plan.layout.mp
-    fx = jnp.zeros((mp, 3), jnp.float32)
+    aq = jnp.zeros((mp + plan.ecap, 3), jnp.float32)
     fp = jnp.zeros(mp, jnp.float32)
-    qx = jnp.zeros((plan.nsp, 3), jnp.float32)
     zi = np.zeros(PAIR_GROUP, np.int32)
 
     def one(combo):
         cap_f, cap_c = combo
         # acc is donated: give each warm call its own buffer
         _fused_pair_knn(
-            jnp.zeros(plan.nsp, jnp.float32), fx, fp, qx, np.int32(0),
-            zi, zi, zi, zi, zi,
+            jnp.zeros(plan.nsp, jnp.float32), aq, fp, np.int32(0),
+            zi, zi, zi, zi, zi, zi,
             jnp.float32(is_wood), jnp.float32(any_wood), k_out,
             any_wood == 1, cap_f, cap_c,
         )
@@ -689,21 +775,40 @@ def fuse_on_device(
         flat_xyz = jnp.asarray(fx)
         flat_probs = jnp.asarray(fpb)
 
-    # queries ship once, pre-permuted into the plan's QCHUNK-aligned slots
-    qp = np.zeros((plan.nsp, 3), np.float32)
-    vm = plan.perm >= 0
-    qp[: plan.n_slots][vm] = query_xyz[plan.perm[vm]].astype(np.float32)
-    q_perm = jnp.asarray(qp)
+    # most queries ARE device-resident tile rows; only the extras tail
+    # (rows the tiling dropped) ships, appended after the flat tile array
+    eq = np.zeros((plan.ecap, 3), np.float32)
+    vme = plan.extra_perm >= 0
+    eq[: plan.extra_perm.size][vme] = (
+        query_xyz[plan.extra_perm[vme]].astype(np.float32)
+    )
+    all_q = jnp.concatenate([flat_xyz, jnp.asarray(eq)], axis=0)
+    if verbose:
+        print(f"fusion: {int(vme.sum())}/{n_q} query rows uploaded "
+              f"(the rest read from the resident tile arrays)")
 
+    import time as _time
+
+    t_disp = _time.perf_counter()
     acc = jnp.zeros(plan.nsp, jnp.float32)
-    for cap_f, cap_c, base, qlens, offf, lenf, offc, lenc in plan.dispatches:
+    for (cap_f, cap_c, base, qoffs, qlens, offf, lenf, offc,
+         lenc) in plan.dispatches:
         acc = _fused_pair_knn(
-            acc, flat_xyz, flat_probs, q_perm, np.int32(base),
-            qlens, offf, lenf, offc, lenc, jnp.float32(is_wood),
+            acc, all_q, flat_probs, np.int32(base), qoffs, qlens,
+            offf, lenf, offc, lenc, jnp.float32(is_wood),
             jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c,
         )
-    packed = np.asarray(acc)[: plan.n_slots]
+    t_launched = _time.perf_counter()
+    # slice on device so the readback moves only the used slots (nsp is
+    # power-of-two padded — up to 2x the bytes on a ~20 MB/s link)
+    packed = np.asarray(acc[: plan.n_slots])
+    if verbose:
+        print(f"fusion: {len(plan.dispatches)} dispatches "
+              f"(launch {t_launched - t_disp:.2f}s, compute+readback "
+              f"{_time.perf_counter() - t_launched:.2f}s, "
+              f"{plan.nsp} slots)")
 
+    vm = plan.perm >= 0
     out = np.zeros((n_q, 2), np.float64)
     label = (packed >= 2.0).astype(np.float64)
     pwood = packed - 2.0 * label

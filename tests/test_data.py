@@ -132,6 +132,12 @@ def test_load_tiles_round_trips_metadata(tmp_path):
     assert [t.cell_id for t in loaded] == [t.cell_id for t in tiles]
     assert all(t.cell_id >= 0 for t in loaded)
     assert {t.grid_size for t in loaded} == {2.0, 4.0}
+    # original-row indices survive too (they let fusion read query
+    # coordinates from the device-resident tile arrays)
+    for lt, t in zip(loaded, tiles):
+        assert t.indices is not None and lt.indices is not None
+        np.testing.assert_array_equal(lt.indices, t.indices)
+        assert lt.indices.shape[0] == lt.points.shape[0]
 
 
 def test_bucket_capacities():

@@ -55,6 +55,52 @@ def test_knn_more_k_than_sources(rng):
     assert np.asarray(valid).sum(axis=1).tolist() == [3, 3]
 
 
+def test_group_min_payload_carries_probability(rng):
+    """The payload-packed group-min kernel (fusion pair path): selected
+    values rank like true distances, the low mantissa bits decode to the
+    winning source's quantized payload, and masked sources come back as
+    >1e38 sentinels (never +inf/NaN)."""
+    from pointstowood_tpu.ops import pallas_knn
+
+    n, k = 2048, 32
+    src = rng.normal(size=(n, 3)).astype(np.float32)
+    q = rng.normal(size=(256, 3)).astype(np.float32)
+    prob = rng.random(n).astype(np.float32)
+    pmax = float((1 << pallas_knn.PAYLOAD_BITS) - 1)
+    pay = np.round(prob * pmax).astype(np.uint32)
+    smask = np.ones(n, bool)
+    smask[:512] = False
+    pen = (src * src).sum(1) + np.where(smask, 0.0, np.inf)
+    g = pallas_knn.supported(n, k)
+    assert g > 0
+    gmin = pallas_knn.group_min_payload(
+        jnp.asarray(q), jnp.asarray(src), jnp.asarray(pen),
+        jnp.asarray(pay), g,
+    )
+    vals, _ = jax.lax.approx_min_k(gmin, k, recall_target=0.95)
+    vals = np.asarray(vals)
+    assert np.isfinite(vals).all() and (vals < 1e38).all()
+    got_p = np.asarray(pallas_knn.unpack_payload(jnp.asarray(vals))) / pmax
+    # oracle: exact kNN over the valid sources; the payload of each
+    # selected value must match SOME true near neighbor's probability
+    # (grouped selection may swap boundary ties)
+    tree = cKDTree(src[512:])
+    _, ref_i = tree.query(q, k=k + 8)
+    ref_probs = prob[512:][ref_i]  # (Q, k+8)
+    match = np.isclose(
+        got_p[:, :, None], ref_probs[:, None, :], atol=0.6 / pmax
+    ).any(axis=2)
+    assert match.mean() > 0.95, f"payload match rate {match.mean()}"
+    # all-masked sources: sentinel clamp, never selected as valid
+    pen_all = np.full(n, np.inf, np.float32)
+    pen_all = (src * src).sum(1) + pen_all
+    gm2 = pallas_knn.group_min_payload(
+        jnp.asarray(q), jnp.asarray(src), jnp.asarray(pen_all),
+        jnp.asarray(pay), g,
+    )
+    assert bool((np.asarray(gm2) > 1e38).all())
+
+
 def test_knn_query_mask(rng):
     src = rng.normal(size=(32, 3)).astype(np.float32)
     qmask = np.array([True, False])

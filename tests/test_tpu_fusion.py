@@ -169,6 +169,45 @@ def test_fuse_on_device_matches_host_fusion(tiled_cloud):
     ) is None
 
 
+def test_resident_queries_match_uploaded_queries(tiled_cloud):
+    """Queries that are rows of their fine tile read their coordinates
+    from the device-resident flat array (zero upload). Stripping the tile
+    indices forces every query onto the uploaded-extras path — both must
+    fuse to the same output, and the resident plan must actually keep
+    most rows off the upload."""
+    import dataclasses
+
+    from pointstowood_tpu.predict.tpu_fusion import (
+        fuse_on_device, plan_fusion,
+    )
+
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    prob = (1 / (1 + np.exp(
+        (np.linalg.norm(classified_xyz[:, :2] - 3.0, axis=1) - 0.4) * 4
+    ))).astype(np.float32)
+
+    plan = plan_fusion(tiles, order, query_xyz, cfg.min_pts, cfg.max_pts)
+    assert plan is not None
+    n_uploaded = int((plan.extra_perm >= 0).sum())
+    n_covered = int((plan.perm >= 0).sum())
+    assert n_uploaded < n_covered * 0.5, (
+        f"resident path inactive: {n_uploaded}/{n_covered} rows uploaded")
+
+    legacy = [dataclasses.replace(t, indices=None) for t in tiles]
+    plan_legacy = plan_fusion(legacy, order, query_xyz, cfg.min_pts,
+                              cfg.max_pts)
+    assert int((plan_legacy.extra_perm >= 0).sum()) == n_covered
+
+    for any_wood in (1.0, 2.0):
+        res = fuse_on_device(tiles, order, prob, query_xyz, 0.5, any_wood,
+                             cfg.min_pts, cfg.max_pts, plan=plan)
+        up = fuse_on_device(legacy, order, prob, query_xyz, 0.5, any_wood,
+                            cfg.min_pts, cfg.max_pts, plan=plan_legacy)
+        assert res is not None and up is not None
+        np.testing.assert_array_equal(res[:, 0], up[:, 0])
+        np.testing.assert_allclose(res[:, 1], up[:, 1], atol=1e-6)
+
+
 def test_fusion_indices_host_fallback_when_unsupported(tiled_cloud):
     tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
     # min_pts below 32 -> the tile map cannot guarantee 32 candidates;
