@@ -253,7 +253,8 @@ def semantic_segmentation(
                 )
                 if plan is not None:
                     warm_fuse_on_device(
-                        plan, predict_cfg.is_wood, predict_cfg.any_wood
+                        plan, predict_cfg.is_wood, predict_cfg.any_wood,
+                        mesh=mesh,
                     )
                 return plan
 
@@ -299,6 +300,7 @@ def semantic_segmentation(
             tiling_cfg.max_pts, verbose=verbose,
             cluster_features=cluster_features, plan=plan,
             resident=sink.arrays() if sink is not None else None,
+            mesh=mesh,
         )
         if verbose:
             print(f"fusion: fuse_on_device done at "

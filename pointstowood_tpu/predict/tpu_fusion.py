@@ -328,6 +328,18 @@ def _fused_pair_knn(acc, all_q, flat_probs, base, q_off, qlens,
     batcher buckets): one compile per (cap_f, cap_c) combo, and small
     pairs never pay a global max_pts-sized kNN.
     """
+    packed = _pair_group(all_q, flat_probs, q_off, qlens, off_f, len_f,
+                         off_c, len_c, is_wood, any_wood, k_out,
+                         any_wood_is_one, cap_f, cap_c)
+    return jax.lax.dynamic_update_slice(acc, packed, (base,))
+
+
+def _pair_group(all_q, flat_probs, q_off, qlens, off_f, len_f, off_c,
+                len_c, is_wood, any_wood, k_out, any_wood_is_one, cap_f,
+                cap_c):
+    """(PAIR_GROUP * PAIR_QCHUNK,) packed [pwood + 2*label] results for one
+    dispatch group of PAIR_GROUP entries (shared by the single-device
+    accumulating dispatch and the multi-device shard_map path)."""
     iota_f = jnp.arange(cap_f, dtype=jnp.int32)
     iota_c = jnp.arange(cap_c, dtype=jnp.int32)
     iota_q = jnp.arange(PAIR_QCHUNK, dtype=jnp.int32)
@@ -396,9 +408,54 @@ def _fused_pair_knn(acc, all_q, flat_probs, base, q_off, qlens,
 
     label, pwood = jax.vmap(per)(q_off, qlens, off_f, len_f, off_c, len_c)
     # pack both outputs into one f32 (pwood keeps 21 mantissa bits): the
-    # readback is half the bytes on a ~10 MB/s link
-    packed = (pwood + 2.0 * label).reshape(PAIR_GROUP * PAIR_QCHUNK)
-    return jax.lax.dynamic_update_slice(acc, packed, (base,))
+    # readback is half the bytes on a slow tunneled link
+    return (pwood + 2.0 * label).reshape(PAIR_GROUP * PAIR_QCHUNK)
+
+
+_SHARDED_CACHE = {}
+
+
+def _sharded_pair_fn(mesh, is_wood, any_wood, k_out, any_wood_is_one,
+                     cap_f, cap_c):
+    """Jitted shard_map that spreads a (D, PAIR_GROUP) stack of fusion
+    dispatches across the mesh's data axis — every chip fuses its own
+    slice of the plot's tile pairs (pure DP, no collectives; the plot's
+    pairs are embarrassingly parallel, SURVEY §2d). Cached per
+    (mesh, thresholds, statics) so repeat plots reuse the executable."""
+    key = (mesh, float(is_wood), float(any_wood), k_out, any_wood_is_one,
+           cap_f, cap_c)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shmap = getattr(jax, "shard_map", None)
+    if shmap is None:  # older jax
+        from jax.experimental.shard_map import shard_map as shmap
+
+    iw = jnp.float32(is_wood)
+    aw = jnp.float32(any_wood)
+
+    def per_shard(all_q, flat_probs, qoffs, qlens, offf, lenf, offc, lenc):
+        return jax.vmap(
+            lambda a, b, c, d, e, f: _pair_group(
+                all_q, flat_probs, a, b, c, d, e, f, iw, aw, k_out,
+                any_wood_is_one, cap_f, cap_c,
+            )
+        )(qoffs, qlens, offf, lenf, offc, lenc)
+
+    d_spec = P("data")
+    fn = jax.jit(shmap(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(), d_spec, d_spec, d_spec, d_spec, d_spec, d_spec),
+        out_specs=d_spec,
+        # the pallas kernel's out_shape carries no varying-mesh-axes
+        # annotation; the shards are independent (pure DP), so the check
+        # adds nothing here
+        check_vma=False,
+    ))
+    _SHARDED_CACHE[key] = fn
+    return fn
 
 
 class FlatLayout:
@@ -686,11 +743,12 @@ def plan_fusion(
 
 
 def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
-                        any_wood: float) -> None:
+                        any_wood: float, mesh=None) -> None:
     """Pre-compile every fused-pair kernel variant the plan will use
-    ((cap_f, cap_c) combos at the plan's resident shapes). The predict
-    engine calls this concurrently with the model phase so no compile
-    lands on the post-model critical path."""
+    ((cap_f, cap_c) combos at the plan's resident shapes — and, under a
+    multi-device mesh, the sharded stack shapes). The predict engine calls
+    this concurrently with the model phase so no compile lands on the
+    post-model critical path."""
     import concurrent.futures
 
     k_out = 64 if any_wood == 1 else 32
@@ -698,16 +756,35 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
     aq = jnp.zeros((mp + plan.ecap, 3), jnp.float32)
     fp = jnp.zeros(mp, jnp.float32)
     zi = np.zeros(PAIR_GROUP, np.int32)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
 
-    def one(combo):
-        cap_f, cap_c = combo
-        # acc is donated: give each warm call its own buffer
-        _fused_pair_knn(
-            jnp.zeros(plan.nsp, jnp.float32), aq, fp, np.int32(0),
-            zi, zi, zi, zi, zi, zi,
-            jnp.float32(is_wood), jnp.float32(any_wood), k_out,
-            any_wood == 1, cap_f, cap_c,
-        )
+    if n_dev > 1 and plan.dispatches:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        aq_r = jax.device_put(aq, repl)
+        fp_r = jax.device_put(fp, repl)
+        d_of = {}
+        for d in plan.dispatches:
+            d_of[(d[0], d[1])] = d_of.get((d[0], d[1]), 0) + 1
+
+        def one(combo):
+            cap_f, cap_c = combo
+            d_pad = -(-d_of[combo] // n_dev) * n_dev
+            z = np.zeros((d_pad, PAIR_GROUP), np.int32)
+            fn = _sharded_pair_fn(mesh, is_wood, any_wood, k_out,
+                                  any_wood == 1, cap_f, cap_c)
+            fn(aq_r, fp_r, z, z, z, z, z, z)
+    else:
+        def one(combo):
+            cap_f, cap_c = combo
+            # acc is donated: give each warm call its own buffer
+            _fused_pair_knn(
+                jnp.zeros(plan.nsp, jnp.float32), aq, fp, np.int32(0),
+                zi, zi, zi, zi, zi, zi,
+                jnp.float32(is_wood), jnp.float32(any_wood), k_out,
+                any_wood == 1, cap_f, cap_c,
+            )
 
     # several combo variants compile per plan; overlap them (the compile
     # service pipelines requests)
@@ -728,6 +805,7 @@ def fuse_on_device(
     cluster_features: bool = False,
     plan: FusionPlan | None = None,
     resident=None,
+    mesh=None,
 ):
     """Fully device-side fusion for the dual-scale configs: per (fine,
     coarse) tile pair, one dispatch runs the union kNN, gathers the
@@ -790,23 +868,57 @@ def fuse_on_device(
     import time as _time
 
     t_disp = _time.perf_counter()
-    acc = jnp.zeros(plan.nsp, jnp.float32)
-    for (cap_f, cap_c, base, qoffs, qlens, offf, lenf, offc,
-         lenc) in plan.dispatches:
-        acc = _fused_pair_knn(
-            acc, all_q, flat_probs, np.int32(base), qoffs, qlens,
-            offf, lenf, offc, lenc, jnp.float32(is_wood),
-            jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c,
-        )
-    t_launched = _time.perf_counter()
-    # slice on device so the readback moves only the used slots (nsp is
-    # power-of-two padded — up to 2x the bytes on a ~20 MB/s link)
-    packed = np.asarray(acc[: plan.n_slots])
-    if verbose:
-        print(f"fusion: {len(plan.dispatches)} dispatches "
-              f"(launch {t_launched - t_disp:.2f}s, compute+readback "
-              f"{_time.perf_counter() - t_launched:.2f}s, "
-              f"{plan.nsp} slots)")
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if n_dev > 1 and plan.dispatches:
+        # multi-chip: stack each combo's dispatches and shard_map them
+        # over the data axis — every chip fuses its own slice of the
+        # plot's tile pairs (pure DP; pairs never exchange anything)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        all_q_r = jax.device_put(all_q, repl)
+        fp_r = jax.device_put(flat_probs, repl)
+        packed = np.zeros(plan.n_slots, np.float32)
+        by_combo = {}
+        for d in plan.dispatches:
+            by_combo.setdefault((d[0], d[1]), []).append(d)
+        t_launched = _time.perf_counter()
+        for (cap_f, cap_c), ds in sorted(by_combo.items()):
+            d_pad = -(-len(ds) // n_dev) * n_dev
+            zero = np.zeros(PAIR_GROUP, np.int32)
+            cols = []
+            for i in range(3, 9):
+                cols.append(np.stack(
+                    [d[i] for d in ds] + [zero] * (d_pad - len(ds))
+                ))
+            fn = _sharded_pair_fn(mesh, is_wood, any_wood, k_out,
+                                  any_wood == 1, cap_f, cap_c)
+            out = np.asarray(fn(all_q_r, fp_r, *cols))
+            for di, d in enumerate(ds):
+                base = d[2]
+                packed[base : base + out.shape[1]] = out[di]
+        if verbose:
+            print(f"fusion: {len(plan.dispatches)} dispatches sharded "
+                  f"over {n_dev} devices in "
+                  f"{_time.perf_counter() - t_launched:.2f}s")
+    else:
+        acc = jnp.zeros(plan.nsp, jnp.float32)
+        for (cap_f, cap_c, base, qoffs, qlens, offf, lenf, offc,
+             lenc) in plan.dispatches:
+            acc = _fused_pair_knn(
+                acc, all_q, flat_probs, np.int32(base), qoffs, qlens,
+                offf, lenf, offc, lenc, jnp.float32(is_wood),
+                jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c,
+            )
+        t_launched = _time.perf_counter()
+        # slice on device so the readback moves only the used slots (nsp
+        # is power-of-two padded — up to 2x the bytes on a slow link)
+        packed = np.asarray(acc[: plan.n_slots])
+        if verbose:
+            print(f"fusion: {len(plan.dispatches)} dispatches "
+                  f"(launch {t_launched - t_disp:.2f}s, compute+readback "
+                  f"{_time.perf_counter() - t_launched:.2f}s, "
+                  f"{plan.nsp} slots)")
 
     vm = plan.perm >= 0
     out = np.zeros((n_q, 2), np.float64)

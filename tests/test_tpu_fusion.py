@@ -208,6 +208,31 @@ def test_resident_queries_match_uploaded_queries(tiled_cloud):
         np.testing.assert_allclose(res[:, 1], up[:, 1], atol=1e-6)
 
 
+def test_sharded_fusion_matches_single_device(tiled_cloud):
+    """Under a multi-device mesh the pair dispatches shard over the data
+    axis (each chip fuses its own slice of the plot's tile pairs); the
+    result must equal the single-device accumulating path exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from pointstowood_tpu.predict.tpu_fusion import fuse_on_device
+
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    prob = (1 / (1 + np.exp(
+        (np.linalg.norm(classified_xyz[:, :2] - 3.0, axis=1) - 0.4) * 4
+    ))).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+    for any_wood in (1.0, 2.0):
+        single = fuse_on_device(tiles, order, prob, query_xyz, 0.5,
+                                any_wood, cfg.min_pts, cfg.max_pts)
+        sharded = fuse_on_device(tiles, order, prob, query_xyz, 0.5,
+                                 any_wood, cfg.min_pts, cfg.max_pts,
+                                 mesh=mesh)
+        assert single is not None and sharded is not None
+        np.testing.assert_array_equal(sharded, single)
+
+
 def test_fusion_indices_host_fallback_when_unsupported(tiled_cloud):
     tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
     # min_pts below 32 -> the tile map cannot guarantee 32 candidates;
