@@ -154,10 +154,15 @@ def preprocess_cloud(
                 continue
             if cell_idx.shape[0] > config.max_pts:
                 if weight is not None:
+                    # Efraimidis-Spirakis keys: identical distribution to
+                    # torch.multinomial's weighted draw without
+                    # replacement (preprocessing.py:118), but vectorized —
+                    # np.random.choice(replace=False, p=...) is sequential
+                    # and costs seconds per oversized cell
                     w = weight[cell_idx]
-                    cell_idx = rng.choice(
-                        cell_idx, size=config.max_pts, replace=False, p=w / w.sum()
-                    )
+                    keys = np.log(rng.random(cell_idx.shape[0])) / w
+                    top = np.argpartition(keys, -config.max_pts)
+                    cell_idx = cell_idx[top[-config.max_pts :]]
                 else:
                     cell_idx = cell_idx[
                         rng.integers(0, cell_idx.shape[0], size=config.max_pts)

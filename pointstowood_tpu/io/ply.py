@@ -105,20 +105,23 @@ def write_ply(output_name: str, pc: pd.DataFrame, comments=()) -> None:
     float64 first, then red/green/blue as int32 if present, then every
     remaining numeric column as float64. Non-numeric columns are dropped.
     """
+    # column arrays are converted directly (no DataFrame copy: per-column
+    # .astype writes through pandas block management cost seconds per
+    # million rows on this host)
     fields = []
-    pc = pc.copy()
+    arrays = []
     for c in ("x", "y", "z"):
-        pc[c] = pc[c].astype(np.float64)
+        arrays.append(pc[c].to_numpy(np.float64, copy=False))
         fields.append((c, "<f8", "float64"))
     if "red" in pc.columns:
         for c in ("red", "green", "blue"):
-            pc[c] = pc[c].astype(np.int32)
+            arrays.append(pc[c].to_numpy(np.int32, copy=False))
             fields.append((c, "<i4", "int"))
     for c in pc.columns:
         if any(c == name for name, _, _ in fields):
             continue
         try:
-            pc[c] = pc[c].astype(np.float64)
+            arrays.append(pc[c].to_numpy(np.float64, copy=False))
         except (ValueError, TypeError):
             continue
         fields.append((c, "<f8", "float64"))
@@ -130,8 +133,8 @@ def write_ply(output_name: str, pc: pd.DataFrame, comments=()) -> None:
     header.append("end_header")
 
     rec = np.empty(len(pc), dtype=[(name, np_t) for name, np_t, _ in fields])
-    for name, _, _ in fields:
-        rec[name] = pc[name].to_numpy()
+    for (name, _, _), arr in zip(fields, arrays):
+        rec[name] = arr
 
     with open(output_name, "wb") as ply:
         ply.write(("\n".join(header) + "\n").encode("ascii"))

@@ -70,7 +70,16 @@ def ground_normalize_np(xyz: np.ndarray, grid_resolution: float = 5.0) -> np.nda
     xi = np.floor((x - x.min()) / grid_resolution).astype(np.int64)
     yi = np.floor((y - y.min()) / grid_resolution).astype(np.int64)
     cell = xi * (yi.max() + 1) + yi
-    _, inv = np.unique(cell, return_inverse=True)
-    min_z = np.full(inv.max() + 1, np.inf, dtype=np.float64)
-    np.minimum.at(min_z, inv, z)
-    return (z - min_z[inv]).astype(np.float32)
+    # sort + segment-min via reduceat: np.minimum.at is an unbuffered
+    # ufunc scatter (~2 s/M rows); this path is ~10x faster
+    order = np.argsort(cell, kind="stable")
+    sc = cell[order]
+    new_seg = np.empty(sc.shape[0], bool)
+    new_seg[0] = True
+    np.not_equal(sc[1:], sc[:-1], out=new_seg[1:])
+    starts = np.flatnonzero(new_seg)
+    seg_min = np.minimum.reduceat(z[order], starts)
+    rank = np.cumsum(new_seg) - 1
+    out = np.empty(z.shape[0], np.float32)
+    out[order] = (z[order] - seg_min[rank]).astype(np.float32)
+    return out
