@@ -83,8 +83,13 @@ PAIR_GROUP = 16
 # stage-2 recall target for the fusion kNNs: the median/vote over >= 32
 # probability-duplicated candidates is insensitive to single swapped
 # neighbors, so fusion buys latency with a looser target than the model
-# kNN (label agreement vs exact host fusion is pinned in tests)
-FUSION_RECALL = 0.9
+# kNN (label agreement vs exact host fusion is pinned in tests).
+# A/B on a 1M-pt plot with a sharp structured probability field
+# (scripts/fusion_recall_probe.py, 2026-08-18): r=0.8 vs r=0.9 label
+# agreement 0.99631, |d pwood| p99 0.035, fusion warm 2.59 s -> 1.99 s
+# (recall_target drives approx_min_k's PartialReduce width, the
+# dominant cost of the stage-2 select); r=0.7 saves nothing more.
+FUSION_RECALL = 0.8
 
 
 @functools.partial(jax.jit, static_argnames=("k", "need_d2", "cap"))
