@@ -83,6 +83,48 @@ def cell_ids_for(feats: np.ndarray, size: float) -> np.ndarray:
     return np.where(finite, ids, NAN_CELL)
 
 
+def cell_ids_multi(feats: np.ndarray, sizes) -> np.ndarray:
+    """``cell_ids_for`` for several grid sizes in one pass, returning an
+    (n, len(sizes)) int64 array. The finite mask, origin, and cleaned
+    coordinates are scale-independent and computed once; a scale whose
+    ratio to the finest is an exact power of two derives its integer
+    cells by right-shifting the finest scale's (scaling by a power of two
+    commutes with fp rounding, so ``fl(rel/(s*2^k)) == fl(rel/s) * 2^-k``
+    and the fold reproduces ``cell_ids_for`` bit-for-bit — pinned by
+    tests). The canonical dual grid [2.0, 4.0] takes the folded path."""
+    sizes = [float(s) for s in sizes]
+    n = feats.shape[0]
+    out = np.empty((n, len(sizes)), np.int64)
+    finite = np.isfinite(feats).all(axis=1)
+    if finite.all():
+        origin = feats.min(axis=0)
+        clean = feats
+    elif finite.any():
+        origin = feats[finite].min(axis=0)
+        clean = np.where(finite[:, None], feats, origin)
+    else:
+        out[:] = NAN_CELL
+        return out
+    rel = clean - origin
+    base = min(sizes)
+    base_cells = None
+    for si, s in enumerate(sizes):
+        ratio = s / base
+        k = int(ratio).bit_length() - 1 if ratio >= 1 else -1
+        if base_cells is not None and k >= 0 and ratio == float(2 ** k):
+            cells = base_cells >> k  # rel >= 0, so >> is the exact floor
+        else:
+            cells = np.floor(rel / s).astype(np.int64)
+            if s == base:
+                base_cells = cells
+        extent = cells.max(axis=0) + 1
+        ids = cells[:, 0]
+        for d in range(1, cells.shape[1]):
+            ids = ids * extent[d] + cells[:, d]
+        out[:, si] = np.where(finite, ids, NAN_CELL)
+    return out
+
+
 def _split_by_cell(feats: np.ndarray, size: float):
     """(cell_id, point-index array) per occupied (size^D) voxel cell.
 

@@ -206,12 +206,10 @@ def semantic_segmentation(
             min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
         )
         order = batcher.tile_order()
-        source_xyz = np.concatenate(
-            [tiles[ti].points[:, :3] for ti in order]
-        )
+        n_source = int(sum(len(tiles[ti]) for ti in order))
         query_xyz = pc[["x", "y", "z"]].to_numpy()
         k = 64 if predict_cfg.any_wood == 1 else 32
-        k = min(k, source_xyz.shape[0])
+        k = min(k, n_source)
         n_scales = len({t.grid_size for t in tiles})
         mode = getattr(predict_cfg, "fusion", "auto")
         use_tpu_fusion = mode == "tpu" or (
@@ -237,6 +235,10 @@ def semantic_segmentation(
             ))
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         if not use_tpu_fusion:
+            # only the host/index paths need the concatenated source cloud
+            source_xyz = np.concatenate(
+                [tiles[ti].points[:, :3] for ti in order]
+            )
             index_future = executor.submit(
                 knn_indices, source_xyz, query_xyz, k
             )
@@ -261,7 +263,7 @@ def semantic_segmentation(
             plan_future = executor.submit(_plan_and_warm)
         else:
             executor.submit(
-                warm_fuse, source_xyz.shape[0], len(pc), k,
+                warm_fuse, n_source, len(pc), k,
                 predict_cfg.is_wood, predict_cfg.any_wood,
             )
 
@@ -307,7 +309,9 @@ def semantic_segmentation(
                   f"+{time.perf_counter() - t1:.2f}s")
         if fused is None:
             indices = fusion_indices(
-                tiles, order, source_xyz, query_xyz, k, tiling_cfg.min_pts,
+                tiles, order,
+                np.concatenate([tiles[ti].points[:, :3] for ti in order]),
+                query_xyz, k, tiling_cfg.min_pts,
                 verbose=verbose, cluster_features=cluster_features,
             )
     elif index_future is not None:

@@ -37,9 +37,10 @@ dominate plot-scale fusion. Three rules follow:
   tiling dropped (subsampled-out, min_pts) upload as a small extras
   tail. Each dispatch then carries only 6 int32 scalars per entry
   (query offset/count + fine/coarse region offset/length);
-* every dispatch accumulates its (label, pwood) — packed into ONE f32
-  as pwood + 2*label — into a donated device buffer; a single readback
-  at the end returns all results.
+* every dispatch accumulates its (label, pwood) — packed into ONE
+  uint16 as (label << 11) | round(pwood * 2046) — into a donated device
+  buffer; a single readback at the end returns all results (lossless:
+  payload-path medians live on the 1/2046 grid).
 
 A host-upload fallback (FlatSink unavailable: multi-device mesh, direct
 test calls) builds the same flat layout host-side and uploads it once.
@@ -66,7 +67,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pointstowood_tpu.data.tiling import Tile, cell_ids_for
+from pointstowood_tpu.data.tiling import (
+    NAN_CELL, Tile, cell_ids_for, cell_ids_multi,
+)
 from pointstowood_tpu.ops.knn import knn_masked
 
 QCHUNK = 8192  # queries per kNN block (index-based path)
@@ -318,8 +321,9 @@ def _fused_pair_knn(acc, all_q, flat_probs, base, q_off, qlens,
     device); only rows the tiling dropped (subsampled-out, min_pts) ride
     the uploaded extras tail. The dispatch uploads only 6 int32 per entry
     and reads back NOTHING — results accumulate into the donated ``acc``
-    buffer at slots [base + i*QCHUNK, base + (i+1)*QCHUNK) (one f32 per
-    slot: pwood + 2*label), read back once after all dispatches.
+    buffer at slots [base + i*QCHUNK, base + (i+1)*QCHUNK) (one uint16 per
+    slot: bit 11 = label, bits 0-10 = pwood on the 1/2046 grid), read back
+    once after all dispatches.
 
     ONE kNN over the fine+coarse UNION (each physical point appears once
     per scale, with that scale's probability) selects the k_out nearest
@@ -342,7 +346,8 @@ def _fused_pair_knn(acc, all_q, flat_probs, base, q_off, qlens,
 def _pair_group(all_q, flat_probs, q_off, qlens, off_f, len_f, off_c,
                 len_c, is_wood, any_wood, k_out, any_wood_is_one, cap_f,
                 cap_c):
-    """(PAIR_GROUP * PAIR_QCHUNK,) packed [pwood + 2*label] results for one
+    """(PAIR_GROUP * PAIR_QCHUNK,) packed uint16 [(label << 11) |
+    round(pwood * 2046)] results for one
     dispatch group of PAIR_GROUP entries (shared by the single-device
     accumulating dispatch and the multi-device shard_map path)."""
     iota_f = jnp.arange(cap_f, dtype=jnp.int32)
@@ -412,12 +417,22 @@ def _pair_group(all_q, flat_probs, q_off, qlens, off_f, len_f, off_c,
         return label, pwood
 
     label, pwood = jax.vmap(per)(q_off, qlens, off_f, len_f, off_c, len_c)
-    # pack both outputs into one f32 (pwood keeps 21 mantissa bits): the
-    # readback is half the bytes on a slow tunneled link
-    return (pwood + 2.0 * label).reshape(PAIR_GROUP * PAIR_QCHUNK)
+    # pack both outputs into one uint16 (bit 11 = label, bits 0-10 = pwood
+    # on a 1/2046 grid): a quarter of the f32-pair readback bytes on a
+    # slow tunneled link. Lossless on the payload path — candidate
+    # probabilities are 10-bit quantized there, so the two-rank median
+    # lands exactly on the 1/2046 grid; the host-upload fallback path
+    # rounds by at most 2.4e-4 (inside the payload quantization's 5e-4)
+    u = jnp.round(jnp.clip(pwood, 0.0, 1.0) * 2046.0).astype(jnp.uint16)
+    u = u | (label.astype(jnp.uint16) << 11)
+    return u.reshape(PAIR_GROUP * PAIR_QCHUNK)
 
 
 _SHARDED_CACHE = {}
+# (signature, combo[, stack height]) pairs already warm-executed in this
+# process — their executables sit in the jit dispatch cache, so repeat
+# plots skip the dummy warm dispatches
+_WARMED = set()
 
 
 def _sharded_pair_fn(mesh, is_wood, any_wood, k_out, any_wood_is_one,
@@ -619,7 +634,8 @@ def plan_fusion(
     # Non-finite query rows are excluded from planning ENTIRELY (they fuse
     # to inert zeros): their coordinates must not perturb the Morton
     # chunking or the candidate boxes of valid queries.
-    finite = np.isfinite(xyz32).all(axis=1)
+    all_ids = cell_ids_multi(xyz32, scales)
+    finite = all_ids[:, 0] != NAN_CELL
     tile_of = np.full((n_q, 2), -1, np.int64)
     n_near = 0
     for si, scale in enumerate(scales):
@@ -627,7 +643,7 @@ def plan_fusion(
             t for t in range(len(tiles)) if tiles[t].grid_size == scale
         ]
         by_cell = {tiles[t].cell_id: t for t in scale_tiles}
-        ids = cell_ids_for(xyz32, float(scale))
+        ids = all_ids[:, si]
         known = np.fromiter(by_cell.keys(), np.int64, len(by_cell))
         tidx = np.fromiter(by_cell.values(), np.int64, len(by_cell))
         so = np.argsort(known)
@@ -758,20 +774,30 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
 
     k_out = 64 if any_wood == 1 else 32
     mp = plan.layout.mp
-    aq = jnp.zeros((mp + plan.ecap, 3), jnp.float32)
-    fp = jnp.zeros(mp, jnp.float32)
-    zi = np.zeros(PAIR_GROUP, np.int32)
     n_dev = 1 if mesh is None else int(mesh.devices.size)
+    # a combo warmed once in this process is already in the jit dispatch
+    # cache: repeat plots (and bench warm passes) skip the dummy
+    # executions entirely instead of re-running one kernel per combo
+    sig = (mp, plan.ecap, plan.nsp, float(is_wood), float(any_wood),
+           k_out, n_dev, None if mesh is None else mesh)
 
     if n_dev > 1 and plan.dispatches:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        repl = NamedSharding(mesh, P())
-        aq_r = jax.device_put(aq, repl)
-        fp_r = jax.device_put(fp, repl)
         d_of = {}
         for d in plan.dispatches:
             d_of[(d[0], d[1])] = d_of.get((d[0], d[1]), 0) + 1
+        # the sharded stack height varies per plot: key on it too
+        todo = [
+            c for c in plan.combos
+            if (sig, c, -(-d_of[c] // n_dev) * n_dev) not in _WARMED
+        ]
+        if not todo:
+            return
+        repl = NamedSharding(mesh, P())
+        aq_r = jax.device_put(jnp.zeros((mp + plan.ecap, 3), jnp.float32),
+                              repl)
+        fp_r = jax.device_put(jnp.zeros(mp, jnp.float32), repl)
 
         def one(combo):
             cap_f, cap_c = combo
@@ -780,21 +806,30 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
             fn = _sharded_pair_fn(mesh, is_wood, any_wood, k_out,
                                   any_wood == 1, cap_f, cap_c)
             fn(aq_r, fp_r, z, z, z, z, z, z)
+            _WARMED.add((sig, combo, d_pad))
     else:
+        todo = [c for c in plan.combos if (sig, c) not in _WARMED]
+        if not todo:
+            return
+        aq = jnp.zeros((mp + plan.ecap, 3), jnp.float32)
+        fp = jnp.zeros(mp, jnp.float32)
+        zi = np.zeros(PAIR_GROUP, np.int32)
+
         def one(combo):
             cap_f, cap_c = combo
             # acc is donated: give each warm call its own buffer
             _fused_pair_knn(
-                jnp.zeros(plan.nsp, jnp.float32), aq, fp, np.int32(0),
+                jnp.zeros(plan.nsp, jnp.uint16), aq, fp, np.int32(0),
                 zi, zi, zi, zi, zi, zi,
                 jnp.float32(is_wood), jnp.float32(any_wood), k_out,
                 any_wood == 1, cap_f, cap_c,
             )
+            _WARMED.add((sig, combo))
 
     # several combo variants compile per plan; overlap them (the compile
     # service pipelines requests)
     with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
-        list(ex.map(one, plan.combos))
+        list(ex.map(one, todo))
 
 
 def fuse_on_device(
@@ -858,6 +893,9 @@ def fuse_on_device(
         flat_xyz = jnp.asarray(fx)
         flat_probs = jnp.asarray(fpb)
 
+    import time as _time
+
+    t_pre = _time.perf_counter()
     # most queries ARE device-resident tile rows; only the extras tail
     # (rows the tiling dropped) ships, appended after the flat tile array
     eq = np.zeros((plan.ecap, 3), np.float32)
@@ -868,9 +906,8 @@ def fuse_on_device(
     all_q = jnp.concatenate([flat_xyz, jnp.asarray(eq)], axis=0)
     if verbose:
         print(f"fusion: {int(vme.sum())}/{n_q} query rows uploaded "
-              f"(the rest read from the resident tile arrays)")
-
-    import time as _time
+              f"(the rest read from the resident tile arrays, "
+              f"extras+concat {_time.perf_counter() - t_pre:.2f}s)")
 
     t_disp = _time.perf_counter()
     n_dev = 1 if mesh is None else int(mesh.devices.size)
@@ -883,7 +920,7 @@ def fuse_on_device(
         repl = NamedSharding(mesh, P())
         all_q_r = jax.device_put(all_q, repl)
         fp_r = jax.device_put(flat_probs, repl)
-        packed = np.zeros(plan.n_slots, np.float32)
+        packed = np.zeros(plan.n_slots, np.uint16)
         by_combo = {}
         for d in plan.dispatches:
             by_combo.setdefault((d[0], d[1]), []).append(d)
@@ -907,7 +944,7 @@ def fuse_on_device(
                   f"over {n_dev} devices in "
                   f"{_time.perf_counter() - t_launched:.2f}s")
     else:
-        acc = jnp.zeros(plan.nsp, jnp.float32)
+        acc = jnp.zeros(plan.nsp, jnp.uint16)
         for (cap_f, cap_c, base, qoffs, qlens, offf, lenf, offc,
              lenc) in plan.dispatches:
             acc = _fused_pair_knn(
@@ -925,12 +962,15 @@ def fuse_on_device(
                   f"{_time.perf_counter() - t_launched:.2f}s, "
                   f"{plan.nsp} slots)")
 
+    t_unperm = _time.perf_counter()
     vm = plan.perm >= 0
     out = np.zeros((n_q, 2), np.float64)
-    label = (packed >= 2.0).astype(np.float64)
-    pwood = packed - 2.0 * label
-    out[plan.perm[vm], 0] = label[vm]
-    out[plan.perm[vm], 1] = pwood[vm]
+    rows = plan.perm[vm]
+    pv = packed[vm]  # uint16: bit 11 = label, bits 0-10 = pwood * 2046
+    out[rows, 0] = pv >> 11
+    out[rows, 1] = (pv & 0x7FF) * (1.0 / 2046.0)
+    if verbose:
+        print(f"fusion: unpermute {_time.perf_counter() - t_unperm:.2f}s")
     return out
 
 

@@ -235,3 +235,25 @@ def test_tile_batcher_mixed_mode(rng):
     order1 = [i for _, _, idxs in batcher for i in idxs]
     order2 = [i for _, _, idxs in batcher for i in idxs]
     assert order1 != order2
+
+
+def test_cell_ids_multi_matches_per_scale_calls():
+    """cell_ids_multi must reproduce cell_ids_for bit-for-bit at every
+    scale: the canonical power-of-two dual grid takes the shift-folded
+    path, non-pow2 ratios the direct path, and NaN rows the sentinel."""
+    from pointstowood_tpu.data.tiling import NAN_CELL, cell_ids_for, cell_ids_multi
+
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(-50, 50, (20000, 3)).astype(np.float32)
+    # rows exactly on cell boundaries stress the fold's floor consistency
+    xyz[:500] = np.round(xyz[:500])
+    xyz[100] = np.nan
+    xyz[200, 1] = np.inf
+    for sizes in ([2.0, 4.0], [2.0, 2.0, 8.0], [1.5, 4.5], [0.1, 0.2]):
+        multi = cell_ids_multi(xyz, sizes)
+        for si, s in enumerate(sizes):
+            np.testing.assert_array_equal(
+                multi[:, si], cell_ids_for(xyz, float(s)), err_msg=f"{sizes} @ {s}"
+            )
+    assert (cell_ids_multi(np.full((4, 3), np.nan, np.float32), [2.0, 4.0])
+            == NAN_CELL).all()
