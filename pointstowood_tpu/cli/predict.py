@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Predict CLI: wood/leaf segmentation of point-cloud files.
+
+Flag surface is byte-compatible with the reference
+(reference: pointstowood/predict.py:61-74). Differences in behavior are
+documented where they occur: tiles stream in memory instead of a
+voxels/ directory of .pt files (pass --vxdir to also spill them), and the
+model path is resolved as given (falling back to ./model/<name> for the
+reference's layout) instead of regex-matching the CWD
+(reference predict.py:25-34).
+"""
+
+import argparse
+import datetime
+import os
+import os.path as OP
+import resource
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--point-cloud', '-p', default=[], nargs='+', type=str,
+                        help='list of point cloud files')
+    parser.add_argument('--odir', type=str, default='.',
+                        help='accepted for parity; outputs are written next '
+                             'to each input like the reference (its '
+                             'predict.py:124 overwrites odir too)')
+    parser.add_argument('--batch_size', default=8, type=int,
+                        help='tiles per device batch')
+    parser.add_argument('--num_procs', default=-1, type=int,
+                        help='number of CPU cores for host-side work')
+    parser.add_argument('--resolution', type=float, default=0.01,
+                        help='accepted for parity; the reference ignores it '
+                             '(preprocessing.py:16)')
+    parser.add_argument('--grid_size', type=float, nargs='+', default=[2.0, 4.0],
+                        help='grid sizes for voxelization')
+    parser.add_argument('--min_pts', type=int, default=128,
+                        help='minimum number of points in voxel')
+    parser.add_argument('--max_pts', type=int, default=16384,
+                        help='maximum number of points in voxel')
+    parser.add_argument('--model', type=str, default='model.pth',
+                        help='path to candidate model (.pth converted on load)')
+    parser.add_argument('--is-wood', default=0.5, type=float,
+                        help='probability above which points within KNN are '
+                             'classified as wood')
+    parser.add_argument('--any-wood', default=1, type=float,
+                        help='probability above which ANY point within KNN is '
+                             'classified as wood')
+    parser.add_argument('--output_fmt', default='ply', help='file type of output')
+    parser.add_argument('--vxdir', type=str, default=None,
+                        help='optional directory to also write voxel_N.npy tiles')
+    parser.add_argument('--channels', type=int, default=32,
+                        help='backbone width C (must match the checkpoint)')
+    parser.add_argument('--dtype', default='bfloat16',
+                        choices=['bfloat16', 'float32'],
+                        help='activation compute dtype (bfloat16 = AMP-'
+                             'equivalent fast path, float32 = exact)')
+    parser.add_argument('--exact_knn', action='store_true',
+                        help='exact fp32 neighbor search (parity mode; the '
+                             'default Pallas fast mode is ~70x faster at '
+                             '~0.97 neighbor recall)')
+    parser.add_argument('--fusion', default='auto',
+                        choices=['auto', 'host', 'tpu'],
+                        help='fusion neighbor search: tile-local TPU kNN '
+                             '(scales with chips) or the exact host grid '
+                             'search (reference semantics, scales with '
+                             'CPU cores); auto picks tpu when supported')
+    parser.add_argument('--profile', type=str, default=None,
+                        help='write a jax.profiler trace of the model phase '
+                             'to this directory')
+    parser.add_argument('--verbose', action='store_true', help='print stuff')
+    return parser.parse_args(argv)
+
+
+def resolve_model_path(model: str) -> str:
+    if os.path.isfile(model):
+        return model
+    candidate = os.path.join('model', os.path.basename(model))
+    if os.path.isfile(candidate):
+        return candidate
+    raise FileNotFoundError(f'No model found at {model} or {candidate}')
+
+
+def main(argv=None):
+    start = datetime.datetime.now()
+    args = parse_args(argv)
+
+    if args.verbose:
+        print('\n---- parameters used ----')
+        for k, v in vars(args).items():
+            print('{:<35}{}'.format(k, v))
+
+    # thread setup (reference predict.py:17-19,79-84 wires --num_procs to
+    # torch/OMP threads; here OMP drives the native fusion kNN)
+    if args.num_procs and args.num_procs > 0:
+        os.environ['OMP_NUM_THREADS'] = str(args.num_procs)
+
+    if not args.point_cloud:
+        raise Exception('no input specified, please specify --point-cloud')
+    for f in args.point_cloud:
+        if not os.path.isfile(f):
+            raise FileNotFoundError(f'Point cloud file not found: {f}')
+
+    # Imports deferred so --help works instantly.
+    from pointstowood_tpu.config import ModelConfig, PredictConfig, TilingConfig
+    from pointstowood_tpu.data.tiling import preprocess_cloud
+    from pointstowood_tpu.io import load_file, save_file
+    from pointstowood_tpu.io.loader import canonicalize_columns
+    from pointstowood_tpu.parallel.mesh import data_mesh
+    from pointstowood_tpu.predict.predicter import semantic_segmentation
+    from pointstowood_tpu.utils.checkpoint import load_checkpoint
+    from pointstowood_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    tiling_cfg = TilingConfig(
+        grid_size=tuple(args.grid_size), min_pts=args.min_pts,
+        max_pts=args.max_pts, resolution=args.resolution,
+    )
+    model_cfg = ModelConfig(
+        channels=args.channels,
+        # default 'fast' comes from ModelConfig (Pallas fused selection)
+        **({'knn_mode': 'exact'} if args.exact_knn else {}),
+        compute_dtype=args.dtype,
+    )
+    predict_cfg = PredictConfig(
+        batch_size=args.batch_size, is_wood=getattr(args, 'is_wood'),
+        any_wood=getattr(args, 'any_wood'), output_fmt=args.output_fmt,
+        fusion=args.fusion,
+    )
+
+    variables = load_checkpoint(resolve_model_path(args.model))
+    mesh = data_mesh()
+
+    for point_cloud_file in args.point_cloud:
+        path = OP.dirname(point_cloud_file)
+        out_name = OP.splitext(OP.basename(point_cloud_file))[0] + '_ours.ply'
+        odir = OP.join(path, out_name)
+
+        if args.verbose:
+            print('\n----- Preprocessing started -----')
+        pc, headers = load_file(point_cloud_file, additional_headers=True)
+        pc, headers, _ = canonicalize_columns(pc, mode='predict')
+
+        print(f'Voxelising to {list(args.grid_size)} grid sizes')
+        tiles = preprocess_cloud(pc, tiling_cfg, with_labels=False, vxdir=args.vxdir)
+
+        if args.verbose:
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            print(f'peak memory: {rss}')
+            print(f'runtime: {(datetime.datetime.now() - start).seconds}')
+            print('\n----- Semantic segmentation started -----')
+
+        pc = semantic_segmentation(
+            pc, tiles, variables, model_cfg, predict_cfg, tiling_cfg,
+            mesh=mesh, verbose=args.verbose, profile_dir=args.profile,
+        )
+
+        out_headers = list(dict.fromkeys(headers + ['n_z', 'label', 'pwood']))
+        import jax as _jax  # multi-host: one writer per (shared) filesystem
+
+        if _jax.process_index() == 0:
+            save_file(odir, pc.copy(), additional_fields=out_headers,
+                      verbose=False)
+            print(f'Saved {odir}')
+
+        if args.verbose:
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            print(f'peak memory: {rss}')
+            print(f'runtime: {(datetime.datetime.now() - start).seconds}')
+
+
+if __name__ == '__main__':
+    main()
