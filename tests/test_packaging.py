@@ -7,7 +7,11 @@ reference's CLI ergonomics (reference predict.py:59, train.py:56).
 
 import importlib
 import os
-import tomllib
+
+try:
+    import tomllib  # Python 3.11+
+except ImportError:  # pragma: no cover - 3.10 fallback
+    import tomli as tomllib  # type: ignore[no-redef]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
