@@ -109,11 +109,14 @@ def main(argv=None):
     from pointstowood_tpu.data.tiling import preprocess_cloud
     from pointstowood_tpu.io import load_file, save_file
     from pointstowood_tpu.io.loader import canonicalize_columns
-    from pointstowood_tpu.parallel.mesh import data_mesh
+    from pointstowood_tpu.parallel.mesh import data_mesh, maybe_init_distributed
     from pointstowood_tpu.predict.predicter import semantic_segmentation
     from pointstowood_tpu.utils.checkpoint import load_checkpoint
     from pointstowood_tpu.utils.compile_cache import enable_compile_cache
 
+    # multi-host bootstrap (no-op without PTW_COORDINATOR_ADDRESS /
+    # PTW_DISTRIBUTED); must precede the first backend touch
+    maybe_init_distributed(verbose=args.verbose)
     enable_compile_cache()
 
     tiling_cfg = TilingConfig(

@@ -59,10 +59,13 @@ def main(argv=None):
     from pointstowood_tpu.data.tiling import Tile, load_tiles, preprocess_cloud
     from pointstowood_tpu.io import load_file
     from pointstowood_tpu.io.loader import canonicalize_columns
-    from pointstowood_tpu.parallel.mesh import data_mesh
+    from pointstowood_tpu.parallel.mesh import data_mesh, maybe_init_distributed
     from pointstowood_tpu.train.trainer import semantic_training
     from pointstowood_tpu.utils.compile_cache import enable_compile_cache
 
+    # multi-host bootstrap (no-op without PTW_COORDINATOR_ADDRESS /
+    # PTW_DISTRIBUTED); must precede the first backend touch
+    maybe_init_distributed(verbose=args.verbose)
     enable_compile_cache()
 
     print(f'Mode: train')

@@ -10,11 +10,53 @@ chip, a v5e-8 slice, and the host-platform device simulation used in tests.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed(verbose: bool = False) -> bool:
+    """Env-gated multi-host bootstrap; returns True when running multi-process.
+
+    The reference is strictly single-GPU so it has nothing here; SURVEY §5
+    mandates a first-class distributed backend. Launch each process with
+
+        PTW_COORDINATOR_ADDRESS=host:port  PTW_NUM_PROCESSES=N  PTW_PROCESS_ID=i
+
+    (explicit generic-cluster form) or ``PTW_DISTRIBUTED=auto`` to let
+    ``jax.distributed.initialize()`` auto-detect the cluster environment
+    (Cloud TPU pods, Slurm, Open MPI). Without any of these env vars the
+    call is a no-op — single-process behavior is unchanged. Must run before
+    the first backend touch; both CLIs call it first thing in ``main``.
+
+    Idempotent: a second call (e.g. CLI main invoked from a driver that
+    already bootstrapped) is a no-op.
+    """
+    addr = os.environ.get("PTW_COORDINATOR_ADDRESS")
+    auto = os.environ.get("PTW_DISTRIBUTED", "").lower() in ("1", "true", "auto")
+    if addr is None and not auto:
+        return False
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is None:  # not yet initialized
+        kwargs = {}
+        if addr is not None:
+            kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ["PTW_NUM_PROCESSES"]),
+                process_id=int(os.environ["PTW_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kwargs)
+    if verbose:
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+            f" local_devices={len(jax.local_devices())}"
+            f" global_devices={jax.device_count()}"
+        )
+    return jax.process_count() > 1
 
 
 def data_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
