@@ -55,6 +55,9 @@ MEASURED_TORCH_CPU_PPS = 1310.0
 # Order-of-magnitude estimate of the CUDA reference on its RTX 6000 dev GPU
 # (no published numbers exist to cite; see BASELINE.md).
 ESTIMATED_RTX6000_PPS = 1.0e6
+# TPU v5e peak bf16 matmul throughput per chip (public spec: 197 TFLOP/s).
+# Override with BENCH_PEAK_BF16_FLOPS when benching other hardware.
+PEAK_BF16_FLOPS = float(os.environ.get("BENCH_PEAK_BF16_FLOPS", 197e12))
 
 BATCH = 8
 N = 16384
@@ -179,7 +182,27 @@ def _forward_once(knn_method, batch=BATCH, n=N, warmup=WARMUP, iters=ITERS):
     dt = time.perf_counter() - t0
     pps = batch * n * iters / dt
     log(f"  timed {iters} iters in {dt:.3f}s -> {pps:,.0f} points/s")
-    return pps, variables
+
+    # FLOP accounting + MFU (VERDICT r3 item 6): XLA's own cost model for
+    # the compiled forward executable. The lowering is served from the jit
+    # cache, so this costs no extra compile.
+    extras = {"forward_seconds": round(dt / iters, 5)}
+    try:
+        ca = forward.lower(
+            variables, pos_j, refl_j, mask_j, sf_j
+        ).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            extras["forward_flops"] = flops
+            extras["mfu_bf16"] = round(flops / (dt / iters) / PEAK_BF16_FLOPS, 4)
+            log(f"  cost_analysis: {flops / 1e12:.3f} TFLOP/forward -> "
+                f"MFU(bf16 peak {PEAK_BF16_FLOPS / 1e12:.0f}T) "
+                f"{extras['mfu_bf16'] * 100:.2f}%")
+    except Exception as e:  # noqa: BLE001 - cost model optional per backend
+        log(f"  cost_analysis unavailable: {type(e).__name__}: {e}")
+    return pps, variables, extras
 
 
 def _arm(seconds):
@@ -216,10 +239,10 @@ def forward_benchmark():
             log(f"forward attempt {i + 1}: knn_method={method} "
                 f"(deadline {attempt_budget:.0f}s)")
             _arm(attempt_budget)
-            pps, variables = _forward_once(method)
+            pps, variables, extras = _forward_once(method)
             if hasattr(signal, "SIGALRM"):
                 signal.alarm(0)
-            return pps, variables, method
+            return pps, variables, method, extras
         except BenchTimeout as e:
             if remaining() < 30:
                 raise
@@ -239,8 +262,8 @@ def forward_benchmark():
     _reset_backend()
     try:
         _arm(remaining() - 10)
-        pps, variables = _forward_once("approx", batch=1, warmup=1, iters=1)
-        return pps, variables, "cpu_fallback"
+        pps, variables, extras = _forward_once("approx", batch=1, warmup=1, iters=1)
+        return pps, variables, "cpu_fallback", extras
     except BenchTimeout:
         raise
     except Exception as e:  # noqa: BLE001
@@ -302,17 +325,17 @@ def e2e_benchmark(variables, n_points):
         out_headers = list(dict.fromkeys(headers + ["n_z", "label", "pwood"]))
         save_file(out_ply, pc, additional_fields=out_headers)
         t3 = time.perf_counter()
-        # warm pass: identical engine call with every shape already
+        # warm passes: identical engine call with every shape already
         # compiled — the steady-state e2e rate a long-running service (or
         # any host with the persistent compile cache) delivers per plot.
-        # Best of two samples when budget allows: this host's wall-times
-        # swing 2-5x run to run (shared-VM noise), and one slow sample
-        # misrepresents a steady state both passes can demonstrate.
+        # Best-of-4 with a median (VERDICT r3 item 9): this host's
+        # wall-times swing 2-5x run to run (shared-VM noise); best shows
+        # the capability, median shows what a user should expect here.
         import contextlib
         import sys as _sys
 
-        warm = None
-        for w in range(2):
+        warm_times = []
+        for w in range(4):
             tw = time.perf_counter()
             # phase timers go to stderr — stdout carries ONLY the JSON line
             with contextlib.redirect_stdout(_sys.stderr):
@@ -321,12 +344,17 @@ def e2e_benchmark(variables, n_points):
                     tiling_cfg, mesh=mesh, verbose=True,
                 )
             dt = time.perf_counter() - tw
-            warm = dt if warm is None else min(warm, dt)
+            warm_times.append(dt)
             log(f"e2e: warm pass {w + 1} in {dt:.1f}s")
             if remaining() < dt + 30:
                 break
+        warm = min(warm_times)
+        warm_median = float(np.median(warm_times))
         t4 = t3 + warm
     return {
+        "e2e_warm_passes": len(warm_times),
+        "e2e_warm_seconds_median": round(warm_median, 2),
+        "e2e_warm_points_per_sec_median": round(len(df) / warm_median, 1),
         "e2e_points": int(len(df)),
         "e2e_tiles": len(tiles),
         "e2e_seconds": round(t3 - t0, 2),
@@ -360,13 +388,14 @@ def main():
         log(f"compile cache: {cache_dir or 'disabled'}; "
             f"time budget {TIME_BUDGET:.0f}s")
 
-        pts_per_sec, variables, method = forward_benchmark()
+        pts_per_sec, variables, method, fwd_extras = forward_benchmark()
         _arm(remaining())  # rest of the budget covers the e2e phase
         result.update(
             value=round(pts_per_sec, 1),
             vs_baseline=round(pts_per_sec / MEASURED_TORCH_CPU_PPS, 3),
             vs_estimate_rtx6000=round(pts_per_sec / ESTIMATED_RTX6000_PPS, 3),
             knn_method=method,
+            **fwd_extras,
         )
 
         e2e_points = int(os.environ.get("BENCH_E2E_POINTS", 1_000_000))
