@@ -24,7 +24,7 @@ def main():
     from pointstowood_tpu.parallel.mesh import data_mesh
     from pointstowood_tpu.predict.predicter import semantic_segmentation
 
-    _, variables, _ = bench.forward_benchmark()
+    _, variables, _, _ = bench.forward_benchmark()
 
     rng = np.random.default_rng(7)
     pts_per_tree = 25_000

@@ -92,6 +92,29 @@ def test_warm_fuse_on_device_precompiles_exact_shapes(tiled_cloud):
         "fuse_on_device compiled a shape the warm-up did not cover")
 
 
+def test_plan_fusion_cache_hits_and_invalidates(tiled_cloud):
+    """Repeat planning of the same plot returns the memoized plan; any
+    input perturbation (queries, tile set) misses the cache."""
+    from pointstowood_tpu.predict import tpu_fusion as tf
+
+    tiles, order, classified_xyz, query_xyz, cfg = tiled_cloud
+    tf._PLAN_CACHE.clear()
+    p1 = tf.plan_fusion(tiles, order, query_xyz, cfg.min_pts, cfg.max_pts)
+    assert p1 is not None
+    p2 = tf.plan_fusion(tiles, order, query_xyz, cfg.min_pts, cfg.max_pts)
+    assert p2 is p1
+    # perturbed queries -> fresh plan
+    q3 = query_xyz + 0.25
+    p3 = tf.plan_fusion(tiles, order, q3, cfg.min_pts, cfg.max_pts)
+    assert p3 is not p1
+    # different min_pts -> fresh plan even with identical arrays
+    p4 = tf.plan_fusion(tiles, order, query_xyz, cfg.min_pts + 1,
+                        cfg.max_pts)
+    assert p4 is not p1
+    # cache is bounded
+    assert len(tf._PLAN_CACHE) <= tf._PLAN_CACHE_MAX
+
+
 def test_fusion_indices_agree_with_host_search(tiled_cloud):
     """Labels fused from tile-local neighbors match the exact global host
     search almost everywhere (border effects only)."""
