@@ -82,7 +82,32 @@ K_PER_SCALE = 32
 # queries); padding costs only kNN compute and query-slot upload, both
 # cheap next to the per-plot fixed transfers
 PAIR_QCHUNK = 1024
-PAIR_GROUP = 16
+# largest stack height (entries) per fused-pair dispatch: bounds the
+# batched (h, cap_f + cap_c, 3) source-slice intermediate to ~200 MB HBM
+PAIR_MAX_STACK = 512
+
+
+def _stack_chunks(n: int) -> list:
+    """Decompose a combo's ``n`` entries into <= 2 power-of-two dispatch
+    stacks (plus PAIR_MAX_STACK-sized full chunks for huge combos):
+    [(padded_height, real_entries), ...]. Power-of-two heights keep the
+    executable set small and reusable across plots; <= 2 chunks per combo
+    keeps the padded-compute waste below one real chunk."""
+    chunks = []
+    while n > PAIR_MAX_STACK:
+        chunks.append((PAIR_MAX_STACK, PAIR_MAX_STACK))
+        n -= PAIR_MAX_STACK
+    if n <= 0:
+        return chunks
+    up = 1 << max(n - 1, 0).bit_length()  # next pow2 >= n
+    if n <= 16 or up == n:
+        chunks.append((up, n))
+    else:
+        half = up >> 1  # largest pow2 < n
+        chunks.append((half, half))
+        r = n - half
+        chunks.append((1 << max(r - 1, 0).bit_length(), r))
+    return chunks
 # stage-2 recall target for the fusion kNNs: the median/vote over >= 32
 # probability-duplicated candidates is insensitive to single swapped
 # neighbors, so fusion buys latency with a looser target than the model
@@ -346,10 +371,11 @@ def _fused_pair_knn(acc, all_q, flat_probs, base, q_off, qlens,
 def _pair_group(all_q, flat_probs, q_off, qlens, off_f, len_f, off_c,
                 len_c, is_wood, any_wood, k_out, any_wood_is_one, cap_f,
                 cap_c):
-    """(PAIR_GROUP * PAIR_QCHUNK,) packed uint16 [(label << 11) |
+    """(len(q_off) * PAIR_QCHUNK,) packed uint16 [(label << 11) |
     round(pwood * 2046)] results for one
-    dispatch group of PAIR_GROUP entries (shared by the single-device
-    accumulating dispatch and the multi-device shard_map path)."""
+    dispatch stack of entries (shared by the single-device
+    accumulating dispatch and the multi-device shard_map path). The
+    stack height is free (the vmap takes it from q_off's shape)."""
     iota_f = jnp.arange(cap_f, dtype=jnp.int32)
     iota_c = jnp.arange(cap_c, dtype=jnp.int32)
     iota_q = jnp.arange(PAIR_QCHUNK, dtype=jnp.int32)
@@ -425,7 +451,7 @@ def _pair_group(all_q, flat_probs, q_off, qlens, off_f, len_f, off_c,
     # rounds by at most 2.4e-4 (inside the payload quantization's 5e-4)
     u = jnp.round(jnp.clip(pwood, 0.0, 1.0) * 2046.0).astype(jnp.uint16)
     u = u | (label.astype(jnp.uint16) << 11)
-    return u.reshape(PAIR_GROUP * PAIR_QCHUNK)
+    return u.reshape(q_off.shape[0] * PAIR_QCHUNK)
 
 
 _SHARDED_CACHE = {}
@@ -437,11 +463,11 @@ _WARMED = set()
 
 def _sharded_pair_fn(mesh, is_wood, any_wood, k_out, any_wood_is_one,
                      cap_f, cap_c):
-    """Jitted shard_map that spreads a (D, PAIR_GROUP) stack of fusion
-    dispatches across the mesh's data axis — every chip fuses its own
+    """Jitted shard_map that spreads an (n_dev, rows) stack of fusion
+    entries across the mesh's data axis — every chip fuses its own
     slice of the plot's tile pairs (pure DP, no collectives; the plot's
     pairs are embarrassingly parallel, SURVEY §2d). Cached per
-    (mesh, thresholds, statics) so repeat plots reuse the executable."""
+    (mesh, thresholds, statics); jit re-specializes per stack shape."""
     key = (mesh, float(is_wood), float(any_wood), k_out, any_wood_is_one,
            cap_f, cap_c)
     fn = _SHARDED_CACHE.get(key)
@@ -751,31 +777,46 @@ def plan_fusion(
         for s0 in range(0, rest.size, PAIR_QCHUNK):
             lst.append((rest[s0 : s0 + PAIR_QCHUNK], -1) + meta)
 
-    # assemble dispatches: entry i of dispatch d owns result slots
-    # [base_d + i*QCHUNK, base_d + (i+1)*QCHUNK) and reads its queries at
-    # q_off (flat region for resident entries, extras tail otherwise), so
-    # dispatch payloads are 6 int32 per entry and the accumulated results
-    # read back in one contiguous buffer
+    # assemble dispatches: ONE stacked dispatch per combo chunk — entry i
+    # of dispatch d owns result slots [base_d + i*QCHUNK,
+    # base_d + (i+1)*QCHUNK) and reads its queries at q_off (flat region
+    # for resident entries, extras tail otherwise), so dispatch payloads
+    # are 6 int32 per entry and the accumulated results read back in one
+    # contiguous buffer. Stack heights are padded to powers of two (<= 2
+    # chunks per combo) so executables persist across plots of any size:
+    # per-dispatch relay round trips, not device compute, dominated the
+    # old fixed-16-entry grouping (92 dispatches / 2.1 s wall vs 0.3 s of
+    # device time at the 1M-pt canonical plot).
+    #
+    # A padded tail writes (h - n_real) * QCHUNK garbage slots PAST the
+    # dispatch's real range; because bases are consecutive and the
+    # donated-acc chain executes in issue order, every later dispatch
+    # rewrites its own real range, so spilled garbage only survives past
+    # n_slots — nsp covers the maximum padded write end and the readback
+    # slices to n_slots.
     dispatches = []
     perm_parts = []
     extra_parts = []
     base = 0
     n_extra = 0
     mp = layout.mp
-    empty = (np.zeros(0, np.int64), -1, 0, 0, 0, 0)
+    max_end = 0
     for combo in sorted(by_combo):
         entries = by_combo[combo]
-        for g0 in range(0, len(entries), PAIR_GROUP):
-            batch = entries[g0 : g0 + PAIR_GROUP]
-            while len(batch) < PAIR_GROUP:
-                batch = batch + [empty]
-            qlens = np.array([e[0].size for e in batch], np.int32)
-            qoffs = np.zeros(PAIR_GROUP, np.int32)
-            offf = np.array([e[2] for e in batch], np.int32)
-            lenf = np.array([e[3] for e in batch], np.int32)
-            offc = np.array([e[4] for e in batch], np.int32)
-            lenc = np.array([e[5] for e in batch], np.int32)
-            for bi, (qs, ro, *_rest) in enumerate(batch):
+        e0 = 0
+        for h, n_real in _stack_chunks(len(entries)):
+            batch = entries[e0 : e0 + n_real]
+            e0 += n_real
+            qlens = np.zeros(h, np.int32)
+            qoffs = np.zeros(h, np.int32)
+            offf = np.zeros(h, np.int32)
+            lenf = np.zeros(h, np.int32)
+            offc = np.zeros(h, np.int32)
+            lenc = np.zeros(h, np.int32)
+            for bi, (qs, ro, of, lf, oc, lc) in enumerate(batch):
+                qlens[bi] = qs.size
+                offf[bi], lenf[bi] = of, lf
+                offc[bi], lenc[bi] = oc, lc
                 slot = np.full(PAIR_QCHUNK, -1, np.int64)
                 slot[: qs.size] = qs
                 perm_parts.append(slot)
@@ -789,9 +830,10 @@ def plan_fusion(
                     extra_parts.append(slot)
             dispatches.append(
                 (combo[0], combo[1], base, qoffs, qlens, offf, lenf, offc,
-                 lenc)
+                 lenc, n_real)
             )
-            base += PAIR_GROUP * PAIR_QCHUNK
+            max_end = max(max_end, base + h * PAIR_QCHUNK)
+            base += n_real * PAIR_QCHUNK
 
     perm = (np.concatenate(perm_parts) if perm_parts
             else np.zeros(0, np.int64))
@@ -801,8 +843,8 @@ def plan_fusion(
     # the very end of the flat array (q_off < mp) can never clamp
     ecap = max(_next_cap(max(extra_perm.size, 1)), PAIR_QCHUNK)
     plan = FusionPlan(
-        layout, n_q, base, max(_next_cap(base), 2048), perm, dispatches,
-        sorted(by_combo), n_near, extra_perm, ecap,
+        layout, n_q, base, max(_next_cap(max(base, max_end)), 2048), perm,
+        dispatches, sorted(by_combo), n_near, extra_perm, ecap,
     )
     while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
@@ -831,14 +873,12 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
     if n_dev > 1 and plan.dispatches:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        d_of = {}
+        # per-device stack rows vary per dispatch: key shapes on them
+        shapes = set()
         for d in plan.dispatches:
-            d_of[(d[0], d[1])] = d_of.get((d[0], d[1]), 0) + 1
-        # the sharded stack height varies per plot: key on it too
-        todo = [
-            c for c in plan.combos
-            if (sig, c, -(-d_of[c] // n_dev) * n_dev) not in _WARMED
-        ]
+            h = d[3].size
+            shapes.add((d[0], d[1], (-(-h // n_dev) * n_dev) // n_dev))
+        todo = [s for s in sorted(shapes) if (sig, s) not in _WARMED]
         if not todo:
             return
         repl = NamedSharding(mesh, P())
@@ -846,24 +886,24 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
                               repl)
         fp_r = jax.device_put(jnp.zeros(mp, jnp.float32), repl)
 
-        def one(combo):
-            cap_f, cap_c = combo
-            d_pad = -(-d_of[combo] // n_dev) * n_dev
-            z = np.zeros((d_pad, PAIR_GROUP), np.int32)
+        def one(shape):
+            cap_f, cap_c, rows = shape
+            z = np.zeros((n_dev, rows), np.int32)
             fn = _sharded_pair_fn(mesh, is_wood, any_wood, k_out,
                                   any_wood == 1, cap_f, cap_c)
             fn(aq_r, fp_r, z, z, z, z, z, z)
-            _WARMED.add((sig, combo, d_pad))
+            _WARMED.add((sig, shape))
     else:
-        todo = [c for c in plan.combos if (sig, c) not in _WARMED]
+        shapes = sorted({(d[0], d[1], d[3].size) for d in plan.dispatches})
+        todo = [s for s in shapes if (sig, s) not in _WARMED]
         if not todo:
             return
         aq = jnp.zeros((mp + plan.ecap, 3), jnp.float32)
         fp = jnp.zeros(mp, jnp.float32)
-        zi = np.zeros(PAIR_GROUP, np.int32)
 
-        def one(combo):
-            cap_f, cap_c = combo
+        def one(shape):
+            cap_f, cap_c, h = shape
+            zi = np.zeros(h, np.int32)
             # acc is donated: give each warm call its own buffer
             _fused_pair_knn(
                 jnp.zeros(plan.nsp, jnp.uint16), aq, fp, np.int32(0),
@@ -871,7 +911,7 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
                 jnp.float32(is_wood), jnp.float32(any_wood), k_out,
                 any_wood == 1, cap_f, cap_c,
             )
-            _WARMED.add((sig, combo))
+            _WARMED.add((sig, shape))
 
     # several combo variants compile per plan; overlap them (the compile
     # service pipelines requests)
@@ -968,24 +1008,30 @@ def fuse_on_device(
         all_q_r = jax.device_put(all_q, repl)
         fp_r = jax.device_put(flat_probs, repl)
         packed = np.zeros(plan.n_slots, np.uint16)
-        by_combo = {}
-        for d in plan.dispatches:
-            by_combo.setdefault((d[0], d[1]), []).append(d)
         t_launched = _time.perf_counter()
-        for (cap_f, cap_c), ds in sorted(by_combo.items()):
-            d_pad = -(-len(ds) // n_dev) * n_dev
-            zero = np.zeros(PAIR_GROUP, np.int32)
+        # each dispatch IS a per-combo stack: split its rows across the
+        # data axis (pure DP — entries are independent), launch every
+        # dispatch async, then drain
+        outs = []
+        for d in plan.dispatches:
+            cap_f, cap_c = d[0], d[1]
+            h = d[3].size
+            hp = -(-h // n_dev) * n_dev
             cols = []
             for i in range(3, 9):
-                cols.append(np.stack(
-                    [d[i] for d in ds] + [zero] * (d_pad - len(ds))
+                c = d[i]
+                if hp != h:
+                    c = np.concatenate([c, np.zeros(hp - h, np.int32)])
+                cols.append(np.ascontiguousarray(
+                    c.reshape(n_dev, hp // n_dev)
                 ))
             fn = _sharded_pair_fn(mesh, is_wood, any_wood, k_out,
                                   any_wood == 1, cap_f, cap_c)
-            out = np.asarray(fn(all_q_r, fp_r, *cols))
-            for di, d in enumerate(ds):
-                base = d[2]
-                packed[base : base + out.shape[1]] = out[di]
+            outs.append((d, fn(all_q_r, fp_r, *cols)))
+        for d, out in outs:
+            flat = np.asarray(out).reshape(-1)
+            nr = d[9] * PAIR_QCHUNK
+            packed[d[2] : d[2] + nr] = flat[:nr]
         if verbose:
             print(f"fusion: {len(plan.dispatches)} dispatches sharded "
                   f"over {n_dev} devices in "
@@ -993,7 +1039,7 @@ def fuse_on_device(
     else:
         acc = jnp.zeros(plan.nsp, jnp.uint16)
         for (cap_f, cap_c, base, qoffs, qlens, offf, lenf, offc,
-             lenc) in plan.dispatches:
+             lenc, _nr) in plan.dispatches:
             acc = _fused_pair_knn(
                 acc, all_q, flat_probs, np.int32(base), qoffs, qlens,
                 offf, lenf, offc, lenc, jnp.float32(is_wood),

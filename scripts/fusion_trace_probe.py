@@ -140,22 +140,23 @@ def main():
         acc = jnp.zeros(plan.nsp, jnp.uint16)
         tc = time.perf_counter()
         for (cap_f, cap_c, base, qoffs, qlens, offf, lenf, offc,
-             lenc) in ds:
+             lenc, _nr) in ds:
             acc = tf._fused_pair_knn(
                 acc, all_q, flat_probs, np.int32(base), qoffs, qlens,
                 offf, lenf, offc, lenc, jnp.float32(is_wood),
                 jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c)
         np.asarray(acc[:8])
         dt = time.perf_counter() - tc
-        print(f"combo {combo}: {len(ds)} dispatches {dt * 1e3:7.1f} ms "
-              f"({dt / len(ds) * 1e3:5.1f} ms/dispatch)")
+        n_ent = sum(d[3].size for d in ds)
+        print(f"combo {combo}: {len(ds)} dispatches ({n_ent} entries) "
+              f"{dt * 1e3:7.1f} ms ({dt / n_ent * 1e3:5.2f} ms/entry)")
 
     # trace one full dispatch loop
     tmpdir = tempfile.mkdtemp(prefix="fusion_trace_")
     acc = jnp.zeros(plan.nsp, jnp.uint16)
     with jax.profiler.trace(tmpdir):
         for (cap_f, cap_c, base, qoffs, qlens, offf, lenf, offc,
-             lenc) in plan.dispatches:
+             lenc, _nr) in plan.dispatches:
             acc = tf._fused_pair_knn(
                 acc, all_q, flat_probs, np.int32(base), qoffs, qlens,
                 offf, lenf, offc, lenc, jnp.float32(is_wood),
