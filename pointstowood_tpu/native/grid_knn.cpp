@@ -204,24 +204,47 @@ void grid_knn_f64(const double* src, int64_t m, const double* qry, int64_t n,
   double ext[3] = {hi[0] - lo[0], hi[1] - lo[1], hi[2] - lo[2]};
   double max_ext = std::max({ext[0], ext[1], ext[2], 1e-12});
   if (cell <= 0) {
-    // ~2*k points per cell in the cloud's *effective* dimensionality:
-    // degenerate (flat/linear) extents contribute one cell, not a
-    // near-zero factor that would explode the grid.
-    double eps = 1e-9 * max_ext;
-    double measure = 1.0;
-    int eff = 0;
-    for (int a = 0; a < 3; ++a)
-      if (ext[a] > eps) {
-        measure *= ext[a];
-        ++eff;
+    // Cell size from the SAMPLED k-th-neighbor distance, not the mean
+    // density: vegetation clouds are wildly non-uniform (dense crowns,
+    // empty air), and a mean-derived cell puts thousands of points in
+    // every crown cell (measured 4x slower than a k-d tree at 1M x 2M,
+    // scripts/host_fusion_bench.py). Sample S queries, find each one's
+    // k-th distance against a source subsample, scale by the subsample
+    // ratio (r_k ~ density^{-1/3}), take the median.
+    const int64_t S = std::min<int64_t>(m, 256);
+    const int64_t msub = std::min<int64_t>(m, 100000);
+    const int64_t sstep = std::max<int64_t>(m / S, 1);
+    const int64_t sub_step = std::max<int64_t>(m / msub, 1);
+    std::vector<double> rk(0);
+    rk.reserve(S);
+#pragma omp parallel
+    {
+      std::vector<double> d_local(k);
+      std::vector<int64_t> i_local(k);
+      std::vector<double> rk_local;
+#pragma omp for schedule(static)
+      for (int64_t si = 0; si < S; ++si) {
+        const double* q = src + 3 * (si * sstep);
+        KBest best{d_local.data(), i_local.data(), (int)k, 0};
+        for (int64_t j = 0; j < m; j += sub_step) {
+          const double* p = src + 3 * j;
+          double dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+          best.push(dx * dx + dy * dy + dz * dz, j);
+        }
+        if (best.n == (int)k && best.worst() > 0)
+          rk_local.push_back(std::sqrt(best.worst()));
       }
-    if (eff == 0) {
-      cell = 1.0;  // all points coincide
-    } else {
-      cell = std::pow(measure * 2.0 * std::max(1, (int)k) / (double)m,
-                      1.0 / eff);
+#pragma omp critical
+      rk.insert(rk.end(), rk_local.begin(), rk_local.end());
     }
-    if (!(cell > 0)) cell = 1.0;
+    if (!rk.empty()) {
+      std::nth_element(rk.begin(), rk.begin() + rk.size() / 2, rk.end());
+      // subsample has 1/sub_step of the density: r_k shrinks ~cbrt
+      // (scale factors 1.0-2.5 swept on the 1M x 2M vegetation bench;
+      // 1.0 measured best over the full query set)
+      cell = rk[rk.size() / 2] / std::cbrt((double)sub_step);
+    }
+    if (!(cell > 0)) cell = max_ext / 64.0;
   }
   // Bound the grid: no axis beyond 2^20 cells (ring search stays sane even
   // with adversarial cell sizes).
