@@ -98,6 +98,14 @@ class TileBatcher:
     is padded with all-invalid rows up to ``batch_size`` so the batch
     dimension is static too.
 
+    Replaces the reference's BalancedBatchSampler (predicter.py:23-63),
+    which pairs short+long tiles to keep total points per dynamic batch
+    "consistent" (an OOM guard). Static padded batches bound device
+    memory by construction (batch x capacity) and drop no tiles, where
+    the reference's pairing loop drops up to batch_size/2 - 1 per half
+    and still spans a ~10x points-per-batch spread on realistic tile
+    distributions (measured: scripts/batch_balance_note.py, BASELINE.md).
+
     Two modes:
       * ``bucket=True`` (inference): tiles grouped by size bucket — minimal
         padding, one compiled shape per bucket. Safe at eval because
