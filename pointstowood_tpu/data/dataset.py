@@ -127,20 +127,48 @@ class TileBatcher:
     def __init__(self, tiles: Sequence[Tile], batch_size: int,
                  min_pts: int, max_pts: int, with_labels: bool = False,
                  shuffle: bool = False, seed: int = 0,
-                 augment=None, bucket: bool = True):
+                 augment=None, bucket: bool = True,
+                 capacity_step: int | None = None,
+                 scale_batch: bool | None = None):
+        """``capacity_step``/``scale_batch`` default per mode: bucketed
+        (inference) iteration uses pow2 buckets (step=2) with the batch
+        dim scaled to hold ~batch_size * max_cap points per dispatch —
+        fine buckets cut the padding overhead from ~57% to ~24% of the
+        padded forward points on realistic plots
+        (scripts/batch_balance_note.py), and constant-points batches keep
+        every bucket's forward MXU-shaped instead of tiny. Mixed-batch
+        (training) iteration keeps coarse step=8 buckets and the fixed
+        batch dim: mixed batches pad to the largest member, so fine
+        buckets would only multiply the costly train-step compiles.
+        External callers that pair ``tile_order()`` with engine outputs
+        must use the same mode the engine used (the defaults agree)."""
+        if capacity_step is None:
+            capacity_step = 2 if bucket else 8
+        if scale_batch is None:
+            scale_batch = bucket
         self.tiles = list(tiles)
         self.batch_size = batch_size
         self.with_labels = with_labels
-        self.capacities = bucket_capacities(min_pts, max_pts)
+        self.capacities = bucket_capacities(min_pts, max_pts,
+                                            step=capacity_step)
         self.shuffle = shuffle
         self.seed = seed
         self.augment = augment
         self.bucket = bucket
+        self.scale_batch = scale_batch
         self._epoch = 0
         self._tile_cap = None
         if bucket and self.tiles:
             caps = [self._capacity_for(len(t)) for t in self.tiles]
             self._tile_cap = self._merge_sparse_buckets(caps)
+
+    def batch_size_for(self, cap: int) -> int:
+        """Batch dim for a bucket: constant ~batch_size * max_cap points
+        per dispatch when scale_batch (always a multiple of batch_size,
+        so mesh divisibility is preserved)."""
+        if not (self.bucket and self.scale_batch):
+            return self.batch_size
+        return self.batch_size * max(1, self.capacities[-1] // cap)
 
     def _merge_sparse_buckets(self, caps: List[int]) -> List[int]:
         """Promote tiles out of buckets that hold a sliver of the padded
@@ -181,9 +209,10 @@ class TileBatcher:
         from collections import Counter
 
         counts = Counter(self._tile_cap or [])
-        return sum(-(-c // self.batch_size) for c in counts.values())
+        return sum(-(-n // self.batch_size_for(c))
+                   for c, n in counts.items())
 
-    def _emit(self, chunk, rng, cap=None):
+    def _emit(self, chunk, rng, cap=None, b_size=None):
         arrays = []
         for ti in chunk:
             pts = self.tiles[ti].points
@@ -193,7 +222,7 @@ class TileBatcher:
         if cap is None:  # mixed mode: pad to the largest member's bucket
             cap = self._capacity_for(max(a.shape[0] for a in arrays))
         # pad batch dim with empty tiles for a static B
-        n_pad = self.batch_size - len(arrays)
+        n_pad = (b_size or self.batch_size) - len(arrays)
         width = arrays[0].shape[1]
         arrays += [np.zeros((0, width), np.float32)] * n_pad
         batch = pad_tiles(arrays, cap, with_labels=self.with_labels)
@@ -212,9 +241,9 @@ class TileBatcher:
         for ti in range(len(self.tiles)):
             buckets.setdefault(self._tile_cap[ti], []).append(ti)
         return [
-            (cap, idxs[s : s + self.batch_size])
+            (cap, idxs[s : s + self.batch_size_for(cap)])
             for cap, idxs in sorted(buckets.items())
-            for s in range(0, len(idxs), self.batch_size)
+            for s in range(0, len(idxs), self.batch_size_for(cap))
         ]
 
     def tile_order(self) -> List[int]:
@@ -247,6 +276,7 @@ class TileBatcher:
         for ti in order:
             buckets.setdefault(self._tile_cap[ti], []).append(ti)
         for cap, idxs in sorted(buckets.items()):
-            for start in range(0, len(idxs), self.batch_size):
-                yield self._emit(idxs[start : start + self.batch_size], rng,
-                                 cap=cap)
+            b = self.batch_size_for(cap)
+            for start in range(0, len(idxs), b):
+                yield self._emit(idxs[start : start + b], rng, cap=cap,
+                                 b_size=b)

@@ -93,7 +93,40 @@ def run_inference(
     batcher = TileBatcher(
         tiles, batch_size=batch_size,
         min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+        capacity_step=2, scale_batch=True,
     )
+
+    # Pre-warm every bucket's forward executable CONCURRENTLY: the pow2
+    # buckets mean up to ~7 (B, cap) shapes per plot, and a relay-compiled
+    # backend pays 40-200 s per serial compile but pipelines parallel
+    # requests (the fusion warm-up compiles 24 kernels in ~27 s this way).
+    # The main loop's own jit calls block per-signature until the matching
+    # warm compile lands, so ordering stays correct; warm runs are zeros
+    # and their outputs are dropped.
+    if mesh is None and batcher.bucket and not batcher.shuffle:
+        shapes = sorted({(cap, batcher.batch_size_for(cap))
+                         for cap, _ in batcher.batch_plan()})
+        if len(shapes) > 1:
+            import concurrent.futures
+
+            def _warm(shape):
+                cap, b = shape
+                try:
+                    _forward(
+                        net, variables,
+                        jnp.zeros((b, cap, 3), jnp.float32),
+                        jnp.zeros((b, cap), jnp.float32),
+                        jnp.zeros((b, cap), bool),
+                        jnp.ones((b,), jnp.float32),
+                    )
+                except Exception:  # noqa: BLE001 - warm is best-effort
+                    pass
+
+            warm_ex = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+            for s in shapes:
+                warm_ex.submit(_warm, s)
+            warm_ex.shutdown(wait=False)
+
     outputs = []
     pending = []  # (device_probs, host_batch) — double buffer so the host
     # readback of batch i overlaps the device compute of batch i+1
@@ -204,6 +237,7 @@ def semantic_segmentation(
         batcher = TileBatcher(
             tiles, batch_size=batch_size,
             min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
+            capacity_step=2, scale_batch=True,
         )
         order = batcher.tile_order()
         n_source = int(sum(len(tiles[ti]) for ti in order))
@@ -231,7 +265,7 @@ def semantic_segmentation(
         # (single-device only: sharded batches would need a gather)
         if will_fuse_on_device and n_dev == 1:
             sink = FlatSink(layout_from_batches(
-                tiles, batcher.batch_plan(), batch_size
+                tiles, batcher.batch_plan(), batcher.batch_size_for
             ))
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         if not use_tpu_fusion:

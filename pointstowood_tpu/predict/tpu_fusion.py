@@ -85,6 +85,21 @@ PAIR_QCHUNK = 1024
 # largest stack height (entries) per fused-pair dispatch: bounds the
 # batched (h, cap_f + cap_c, 3) source-slice intermediate to ~200 MB HBM
 PAIR_MAX_STACK = 512
+# fused-pair kernels exist only at these static source-slice sizes: a
+# per-tile pow2 cap set yields up to 16 (cap_f, cap_c) executables, and
+# every DISTINCT executable in the dispatch loop costs a ~30 ms switch
+# through the relay (scripts/pair_combo_probe.py) plus a compile. Two
+# sizes bound the loop at 4 executables; reading past a tile's true
+# region is masked by len and stays in-bounds because the extras tail is
+# at least FUSION_CAPS[-1] rows and flat_probs ships padded to match.
+FUSION_CAPS = (2048, 16384)
+
+
+def _fusion_cap(c: int) -> int:
+    for fc in FUSION_CAPS:
+        if c <= fc:
+            return fc
+    return FUSION_CAPS[-1]
 
 
 def _stack_chunks(n: int) -> list:
@@ -524,7 +539,11 @@ class FlatLayout:
 
 def layout_from_batches(tiles, batch_plan, batch_size) -> FlatLayout:
     """FlatLayout matching TileBatcher.batch_plan(): batch b occupies
-    batch_size * cap_b consecutive rows starting at batch_base[b]."""
+    B_b * cap_b consecutive rows starting at batch_base[b].
+
+    ``batch_size``: an int (uniform batch dim) or a callable
+    ``cap -> B`` (the batcher's per-bucket scaled batch dim)."""
+    b_for = batch_size if callable(batch_size) else (lambda _c: batch_size)
     n = len(tiles)
     off = np.zeros(n, np.int64)
     cap = np.zeros(n, np.int64)
@@ -536,7 +555,7 @@ def layout_from_batches(tiles, batch_plan, batch_size) -> FlatLayout:
         for j, t in enumerate(ids):
             off[t] = goff + j * bcap
             cap[t] = bcap
-        goff += batch_size * bcap
+        goff += b_for(bcap) * bcap
     return FlatLayout(off, cap, lens, goff, batch_base)
 
 
@@ -746,7 +765,8 @@ def plan_fusion(
         if grp.size == 0 or tile_of[grp[0], 0] < 0:
             continue  # non-finite rows: no plan entry, fuse to inert zeros
         tf, tc = int(tile_of[grp[0], 0]), int(tile_of[grp[0], 1])
-        combo = (int(layout.cap[tf]), int(layout.cap[tc]))
+        combo = (_fusion_cap(int(layout.cap[tf])),
+                 _fusion_cap(int(layout.cap[tc])))
         meta = (int(layout.off[tf]), int(layout.lens[tf]),
                 int(layout.off[tc]), int(layout.lens[tc]))
         lst = by_combo.setdefault(combo, [])
@@ -839,9 +859,11 @@ def plan_fusion(
             else np.zeros(0, np.int64))
     extra_perm = (np.concatenate(extra_parts) if extra_parts
                   else np.zeros(0, np.int64))
-    # the extras tail is at least PAIR_QCHUNK rows so a resident slice at
-    # the very end of the flat array (q_off < mp) can never clamp
-    ecap = max(_next_cap(max(extra_perm.size, 1)), PAIR_QCHUNK)
+    # the extras tail is at least FUSION_CAPS[-1] rows so a rounded-cap
+    # source slice (or a resident query slice) at the very end of the
+    # flat array (off < mp) can never go out of bounds or clamp
+    ecap = max(_next_cap(max(extra_perm.size, 1)), PAIR_QCHUNK,
+               FUSION_CAPS[-1])
     plan = FusionPlan(
         layout, n_q, base, max(_next_cap(max(base, max_end)), 2048), perm,
         dispatches, sorted(by_combo), n_near, extra_perm, ecap,
@@ -884,7 +906,7 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
         repl = NamedSharding(mesh, P())
         aq_r = jax.device_put(jnp.zeros((mp + plan.ecap, 3), jnp.float32),
                               repl)
-        fp_r = jax.device_put(jnp.zeros(mp, jnp.float32), repl)
+        fp_r = jax.device_put(jnp.zeros(mp + plan.ecap, jnp.float32), repl)
 
         def one(shape):
             cap_f, cap_c, rows = shape
@@ -899,7 +921,7 @@ def warm_fuse_on_device(plan: FusionPlan, is_wood: float,
         if not todo:
             return
         aq = jnp.zeros((mp + plan.ecap, 3), jnp.float32)
-        fp = jnp.zeros(mp, jnp.float32)
+        fp = jnp.zeros(mp + plan.ecap, jnp.float32)
 
         def one(shape):
             cap_f, cap_c, h = shape
@@ -991,6 +1013,11 @@ def fuse_on_device(
         query_xyz[plan.extra_perm[vme]].astype(np.float32)
     )
     all_q = jnp.concatenate([flat_xyz, jnp.asarray(eq)], axis=0)
+    # probabilities padded to all_q's length: rounded-cap source slices
+    # may read past mp (masked by len; the pad keeps them in-bounds)
+    flat_probs = jnp.concatenate(
+        [flat_probs, jnp.zeros(plan.ecap, jnp.float32)]
+    )
     if verbose:
         print(f"fusion: {int(vme.sum())}/{n_q} query rows uploaded "
               f"(the rest read from the resident tile arrays, "

@@ -276,6 +276,9 @@ def semantic_training(
         train_tiles, batch_size=cfg.batch_size,
         min_pts=tiling_cfg.min_pts, max_pts=tiling_cfg.max_pts,
         with_labels=True,
+        # training shapes: fixed batch dim, coarse buckets (the init
+        # trace compiles a full forward; keep it at a train-step shape)
+        capacity_step=8, scale_batch=False,
     )
     cap0, batch0, _ = next(iter(probe))
     pos0, refl0, mask0, sf0, _ = _batch_arrays(batch0)

@@ -180,7 +180,11 @@ def test_tile_batcher_covers_all_tiles_and_pads_batch():
     batcher = TileBatcher(tiles, batch_size=2, min_pts=64, max_pts=1024)
     seen = []
     for cap, batch, idxs in batcher:
-        assert batch.pos.shape[0] == 2  # static batch dim
+        # bucketed batches scale the batch dim to constant points
+        # (always a multiple of batch_size, mesh divisibility)
+        b = batcher.batch_size_for(cap)
+        assert batch.pos.shape[0] == b
+        assert b % 2 == 0 and b * cap == 2 * batcher.capacities[-1]
         assert batch.pos.shape[1] == cap
         seen.extend(idxs)
     assert sorted(seen) == [0, 1, 2, 3, 4]  # nothing dropped

@@ -201,6 +201,55 @@ def test_predict_cli_end_to_end(tmp_path):
     np.testing.assert_allclose(out["x"].to_numpy(), df["x"].to_numpy(), atol=1e-9)
 
 
+def test_predict_cli_multi_file_pipeline(tmp_path):
+    """Multiple --point-cloud files run through the double-buffered loop
+    (plot N+1 preprocess and plot N-1 save overlap plot N's device
+    phase); every output must land with the right row count."""
+    import jax
+    from pointstowood_tpu.io import read_ply, write_ply
+    from pointstowood_tpu.model import Net
+    from pointstowood_tpu.utils.checkpoint import save_checkpoint
+    import functools
+    import jax.numpy as jnp
+    import predict as predict_cli
+
+    paths = []
+    for i in range(3):
+        df = _synthetic_tree(seed=11 + i)
+        p = str(tmp_path / f"tree{i}.ply")
+        write_ply(p, df.drop(columns=["truth"]))
+        paths.append((p, len(df)))
+
+    net = Net()
+    init_fn = jax.jit(functools.partial(net.init, training=False))
+    variables = init_fn(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 256, 3)), jnp.zeros((1, 256)),
+        jnp.ones((1, 256), bool), jnp.ones((1,)),
+    )
+    model_path = str(tmp_path / "model.ckpt")
+    save_checkpoint(model_path, variables)
+
+    predict_cli.main(
+        [
+            "--point-cloud", *(p for p, _ in paths),
+            "--model", model_path,
+            "--grid_size", "4.0",
+            "--min_pts", "64",
+            "--max_pts", "1024",
+            "--batch_size", "2",
+            "--dtype", "float32",
+        ]
+    )
+
+    for p, n in paths:
+        out_path = p[:-4] + "_ours.ply"
+        assert os.path.exists(out_path), out_path
+        out = read_ply(out_path)
+        assert len(out) == n
+        assert {"label", "pwood"} <= set(out.columns)
+
+
 def test_enable_compile_cache(tmp_path, monkeypatch):
     """The CLIs point JAX's persistent compilation cache at a durable
     directory; env opt-out and the standard JAX variable both win."""

@@ -287,7 +287,8 @@ def test_flat_sink_matches_host_upload_path(tiled_cloud):
         ))).astype(np.float32)
 
     # simulate run_inference's sink writes with the batch's device arrays
-    sink = FlatSink(layout_from_batches(tiles, batcher.batch_plan(), 4))
+    sink = FlatSink(layout_from_batches(tiles, batcher.batch_plan(),
+                                        batcher.batch_size_for))
     for cap, batch, _ in batcher:
         world = batch.pos + batch.shift[:, None, :]
         probs = prob_of(world.reshape(-1, 3)).reshape(world.shape[:2])
