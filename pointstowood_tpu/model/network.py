@@ -168,7 +168,11 @@ class Net(nn.Module):
     # 'approx': TPU PartialReduce selection, bf16 distance matmuls (fast
     # path); 'exact': fp32 streaming top-k (parity path). See ops/knn.py.
     knn_method: str = "fast"
-    knn_recall: float = 0.9
+    # scalar, or a per-SA-stage sequence (SA1, SA2, SA3): SA1 ranks the
+    # full tile (recall costs the most there) while SA2/SA3 rank sampled
+    # subsets — the accuracy-vs-latency frontier is measured per stage in
+    # BASELINE.md (scripts/c32_accuracy_and_knn_deviation.py --recalls)
+    knn_recall: float | Sequence[float] = 0.9
     # eval voxel representative choice; "last" = reference parity (see
     # ops/voxel.voxel_representatives)
     voxel_priority: str = "hash"
@@ -212,10 +216,13 @@ class Net(nn.Module):
         for i, ((nn_ch, out_f, use_rad), res) in enumerate(
             zip(sa_specs, self.sa_resolutions)
         ):
+            rec = (float(self.knn_recall)
+                   if isinstance(self.knn_recall, (int, float))
+                   else float(self.knn_recall[i]))
             x, p, r, m = SAStage(
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,
-                knn_method=self.knn_method, knn_recall=self.knn_recall,
+                knn_method=self.knn_method, knn_recall=rec,
                 dtype=self.dtype, voxel_priority=self.voxel_priority,
                 attention_knn=self.attention_knn,
                 attention_conv=self.attention_conv,

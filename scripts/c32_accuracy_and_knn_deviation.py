@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--test_trees", type=int, default=4)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse wdir/model/c32.ckpt from a previous run")
+    ap.add_argument("--recalls", type=str, default=None,
+                    help="space-separated fast-kNN recall specs to sweep "
+                         "(each a uniform value or per-stage "
+                         "'sa1,sa2,sa3'), e.g. "
+                         "'0.9 0.93 0.95 0.97 0.97,0.9,0.9'")
     args = ap.parse_args()
 
     from sklearn.metrics import balanced_accuracy_score
@@ -79,34 +84,51 @@ def main():
 
     test_raw = make_forest(seed=99, n_trees=args.test_trees)
     truth = test_raw["truth"].to_numpy()
+
+    # eval configs: the exact parity path + the fast path across the
+    # recall frontier (VERDICT r3 item 3). A spec is a uniform recall
+    # ("0.95") or per-SA-stage "sa1,sa2,sa3" ("0.97,0.9,0.9" — SA1 ranks
+    # the full tile and dominates kNN latency, so tight-SA1/loose-rest is
+    # the interesting corner).
+    specs = [("exact", None)]
+    for spec in (args.recalls.split() if args.recalls
+                 else ["0.9"]):
+        parts = tuple(float(x) for x in spec.split(","))
+        specs.append(("fast", parts[0] if len(parts) == 1 else parts))
+
     results = {}
-    for mode in ("fast", "exact"):
+    for mode, recall in specs:
         df, _, _ = canonicalize_columns(
             test_raw.drop(columns=["truth"]).copy(), mode="predict"
         )
         tiles = preprocess_cloud(df, tiling, seed=141190)
         cfg = dataclasses.replace(model_cfg, knn_mode=mode)
+        if recall is not None:
+            cfg = dataclasses.replace(cfg, knn_recall=recall)
+        key = mode if recall is None else f"fast@{recall}"
         t0 = time.time()
         out = semantic_segmentation(
             df, tiles, variables, cfg, PredictConfig(batch_size=8),
             tiling, verbose=False,
         )
+        dt = time.time() - t0
         ba = balanced_accuracy_score(truth, out["label"].to_numpy())
-        print(f"{mode:6s}: BA vs truth {ba:.4f}  "
-              f"({time.time() - t0:.1f}s inference)", flush=True)
-        results[mode] = out
+        results[key] = (out, ba, dt)
+        print(f"{key:22s}: BA vs truth {ba:.4f}  ({dt:.1f}s inference)",
+              flush=True)
 
-    la = np.mean(
-        results["fast"]["label"].to_numpy()
-        == results["exact"]["label"].to_numpy()
-    )
-    dp = np.abs(
-        results["fast"]["pwood"].to_numpy()
-        - results["exact"]["pwood"].to_numpy()
-    )
-    print(f"label agreement fast-vs-exact: {la:.4f}")
-    print(f"|d pwood| mean {dp.mean():.4f}  p99 {np.quantile(dp, 0.99):.4f} "
-          f"max {dp.max():.4f}")
+    exact_out, exact_ba, _ = results["exact"]
+    print(f"\n-- frontier vs exact (BA {exact_ba:.4f}) --")
+    for key, (out, ba, dt) in results.items():
+        if key == "exact":
+            continue
+        la = np.mean(out["label"].to_numpy()
+                     == exact_out["label"].to_numpy())
+        dp = np.abs(out["pwood"].to_numpy()
+                    - exact_out["pwood"].to_numpy())
+        print(f"{key:22s}: BA {ba:.4f} (d {ba - exact_ba:+.4f})  "
+              f"label agreement {la:.4f}  |d pwood| mean {dp.mean():.4f} "
+              f"p99 {np.quantile(dp, 0.99):.4f}  {dt:.1f}s")
     print(f"wdir: {wdir}")
 
 
