@@ -32,13 +32,12 @@ from flax import linen as nn
 
 from pointstowood_tpu.model.layers import RefMLP
 
-# Backward mode for gather_rows: the MXU one-hot-matmul scatter
-# (ops/pallas_scatter.py) replaces XLA's per-row-bound scatter-add in the
-# gather VJPs wherever the shapes block-align — the single largest
-# backward op class (SA2 17.4 + SA3 10.2 + FP 11.7 ms at the canonical
-# train shape, BASELINE.md). Default OFF until the A/B on real hardware
-# lands (scripts/train_step_profile.py, TSP_MXU_SCATTER=0/1).
-MXU_SCATTER = False
+# Gather backward: XLA's native scatter-add. Every measured alternative
+# lost on real hardware (BASELINE.md): an MXU one-hot-matmul scatter
+# kernel was +13 ms/step (A/B'd round 3, kernel deleted), sort-based
+# segment-sum 3x slower, forward-hoisted permutation+cumsum 2.5x slower.
+# The wins that stuck are structural: dead-tail VJPs and the SA1
+# stem-recompute, below.
 
 
 def _gather_impl(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -60,19 +59,14 @@ def _gather_fwd(n, arr, idx):
 
 
 def _gather_bwd(n, idx, ct):
-    from pointstowood_tpu.ops import pallas_scatter
-
     b = idx.shape[0]
     e = math.prod(idx.shape[1:])
     c = ct.shape[-1]
     ctf = ct.reshape(b, e, c)
     idxf = idx.reshape(b, e)
-    if MXU_SCATTER and pallas_scatter.supported(e, n):
-        d_arr = pallas_scatter.scatter_add_rows(ctf, idxf, n)
-    else:  # XLA scatter-add fallback for non-block-aligned shapes
-        d_arr = jnp.zeros((b, n, c), ct.dtype).at[
-            jnp.arange(b, dtype=jnp.int32)[:, None], idxf
-        ].add(ctf)
+    d_arr = jnp.zeros((b, n, c), ct.dtype).at[
+        jnp.arange(b, dtype=jnp.int32)[:, None], idxf
+    ].add(ctf)
     return d_arr, None
 
 
@@ -115,8 +109,8 @@ _gather_rows_deadtail.defvjp(_gather_deadtail_fwd, _gather_deadtail_bwd)
 def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched row gather via one flat global gather: arr (B, N, C),
     idx (B, ...) -> (B, ..., C). Flattening to (B*N, C) with offset indices
-    is measurably faster than take_along_axis on TPU. The backward
-    scatter-adds ride the MXU (see MXU_SCATTER above)."""
+    is measurably faster than take_along_axis on TPU. The backward is
+    XLA's native scatter-add (see the note above)."""
     return _gather_rows_n(arr.shape[1], arr, idx)
 
 

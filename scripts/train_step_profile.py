@@ -38,14 +38,8 @@ def bench(fn, *args, label=""):
 def main():
     from pointstowood_tpu.config import TrainConfig
     from pointstowood_tpu.model import Net
-    from pointstowood_tpu.model import pointconv
     from pointstowood_tpu.train.loss import poly1_focal_loss
     from pointstowood_tpu.train.trainer import make_train_step
-
-    # A/B the gather-backward formulation: TSP_MXU_SCATTER=0 falls back
-    # to XLA's native scatter-add in the gather VJPs
-    pointconv.MXU_SCATTER = os.environ.get("TSP_MXU_SCATTER", "1") != "0"
-    print(f"MXU_SCATTER={pointconv.MXU_SCATTER}")
 
     cfg = TrainConfig()
     net = Net(dtype=jnp.bfloat16)

@@ -58,10 +58,7 @@ def categorize(name):
 def main():
     from pointstowood_tpu.config import TrainConfig
     from pointstowood_tpu.model import Net
-    from pointstowood_tpu.model import pointconv
     from pointstowood_tpu.train.loss import poly1_focal_loss
-
-    pointconv.MXU_SCATTER = os.environ.get("TST_MXU_SCATTER", "0") != "0"
 
     cfg = TrainConfig()
     net = Net(dtype=jnp.bfloat16)

@@ -399,45 +399,6 @@ def test_knn_interpolate_batched_matches_single(rng):
         np.testing.assert_allclose(out[i], single, rtol=1e-5, atol=1e-6)
 
 
-def test_pallas_scatter_add_matches_numpy():
-    """The MXU one-hot-matmul scatter-add (the gather-backward kernel)
-    reproduces np.add.at, including dropped out-of-range indices, and the
-    gather_rows custom VJP routes through it when shapes block-align."""
-    import jax
-    import jax.numpy as jnp
-
-    from pointstowood_tpu.model import pointconv
-    from pointstowood_tpu.ops.pallas_scatter import scatter_add_rows
-
-    rng = np.random.default_rng(5)
-    B, E, N, C = 2, 2048, 1024, 20
-    g = rng.normal(size=(B, E, C)).astype(np.float32)
-    idx = rng.integers(0, N, (B, E)).astype(np.int32)
-    out = np.asarray(scatter_add_rows(jnp.asarray(g), jnp.asarray(idx), N))
-    ref = np.zeros((B, N, C), np.float32)
-    for b in range(B):
-        np.add.at(ref[b], idx[b], g[b])
-    np.testing.assert_allclose(out, ref, atol=1e-4)
-
-    # custom VJP equivalence: MXU path vs XLA scatter path
-    arr = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
-    nbr = jnp.asarray(rng.integers(0, N, (B, 128, 16)).astype(np.int32))
-
-    def f(a):
-        return jnp.sum(jnp.cos(pointconv.gather_rows(a, nbr)))
-
-    old = pointconv.MXU_SCATTER
-    try:
-        pointconv.MXU_SCATTER = True
-        g_mxu = jax.grad(f)(arr)
-        pointconv.MXU_SCATTER = False
-        g_xla = jax.grad(f)(arr)
-    finally:
-        pointconv.MXU_SCATTER = old
-    np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_xla),
-                               atol=1e-5)
-
-
 def test_fused_fp_interpolate_matches_exact(rng):
     """The fused threshold-select interpolation kernel (ops/pallas_interp)
     matches exact k=2 inverse-distance interpolation on almost all rows
