@@ -159,9 +159,13 @@ class Fusion:
         positions are known before the model runs). ``fused``: optional
         precomputed (N, 2) [label, pwood] (the on-device fusion path
         computes median/vote inside the neighbor-search dispatch)."""
-        original = original.drop(
-            columns=[c for c in original.columns if c in ("label", "pwood", "pleaf")]
-        )
+        # shallow copy + column replacement (a drop() would deep-copy every
+        # block of a ~1M-row frame just to re-add label/pwood — measurable
+        # host time inside the warm path); replacing a column on the copy
+        # installs a new block there and never writes the caller's frame
+        original = original.copy(deep=False)
+        if "pleaf" in original.columns:
+            original = original.drop(columns=["pleaf"])
         if fused is None:
             # nbrs.npy cache next to the CWD, as the reference honors
             # (predicter.py:131-134)
@@ -174,6 +178,6 @@ class Fusion:
                 self.any_wood,
                 indices=indices,
             )
-        original.loc[:, "label"] = fused[:, 0]
-        original.loc[:, "pwood"] = fused[:, 1]
+        original["label"] = fused[:, 0]
+        original["pwood"] = fused[:, 1]
         return original
