@@ -310,3 +310,35 @@ def test_flat_sink_matches_host_upload_path(tiled_cloud):
     np.testing.assert_array_equal(fused_sink[:, 0], fused_host[:, 0])
     np.testing.assert_allclose(fused_sink[:, 1], fused_host[:, 1],
                                atol=1e-6)
+
+
+def test_query_slots_inverts_perm(tiled_cloud):
+    """query_slots() is the exact inverse of the plan's slot->query perm:
+    a gather through it must reproduce the scatter semantics it replaced
+    (duplicate slots for one query pick the later slot; rows no dispatch
+    covers map to the zero pad slot == n_slots)."""
+    from pointstowood_tpu.predict.tpu_fusion import plan_fusion
+
+    tiles, order, _, query_xyz, cfg = tiled_cloud
+    # append a non-finite query row: it must map to the pad slot
+    q = np.vstack([query_xyz, [[np.nan, np.nan, np.nan]]])
+    plan = plan_fusion(tiles, order, q, cfg.min_pts, cfg.max_pts)
+    assert plan is not None
+    slots = plan.query_slots()
+    assert slots.shape == (plan.n_q,)
+    assert slots[-1] == plan.n_slots  # NaN row: uncovered -> pad slot
+    covered = slots < plan.n_slots
+    # every covered row's slot maps straight back to it...
+    np.testing.assert_array_equal(
+        plan.perm[slots[covered]], np.flatnonzero(covered)
+    )
+    # ...choosing the LAST slot where a query owns several (the scatter
+    # this replaced wrote later slots over earlier ones)
+    vm = plan.perm >= 0
+    last = {}
+    for slot in np.flatnonzero(vm):
+        last[int(plan.perm[slot])] = slot
+    for qrow, slot in last.items():
+        assert slots[qrow] == slot
+    # and every valid perm entry is covered
+    assert set(plan.perm[vm].tolist()) == set(np.flatnonzero(covered).tolist())
