@@ -18,6 +18,7 @@ max-norm scale factor, exactly as the reference datasets do
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -25,7 +26,8 @@ import numpy as np
 from pointstowood_tpu.data.tiling import Tile
 
 
-def bucket_capacities(min_pts: int, max_pts: int, step: int = 8) -> List[int]:
+def bucket_capacities(min_pts: int, max_pts: int, step: int = 8,
+                      half_steps: bool = False) -> List[int]:
     """Geometric capacities covering [min_pts, max_pts].
 
     ``step`` trades padding waste for compile count: each distinct
@@ -35,6 +37,14 @@ def bucket_capacities(min_pts: int, max_pts: int, step: int = 8) -> List[int]:
     the canonical 128..16384 config (vs 7 at step=2), bounding padding
     waste at 8x on the small minority of mid-sized tiles while cutting the
     dominant small-run cost: compiles.
+
+    ``half_steps`` inserts 1.5x-pow2 capacities that are multiples of
+    1024 (3072/6144/12288 at the canonical config) between the pow2 caps:
+    finer buckets cut padding on big tiles — the pow2 16384 bucket carries
+    ~53% of a realistic plot's padded points and half of those tiles fit
+    in 12288 — while the multiple-of-1024 restriction keeps the Pallas
+    fast-kNN kernel eligible at SA1 (sources must divide into g*128
+    groups, ops/pallas_knn.py:148) and stage capacities lane-aligned.
     """
     caps = []
     c = 256
@@ -43,7 +53,27 @@ def bucket_capacities(min_pts: int, max_pts: int, step: int = 8) -> List[int]:
             caps.append(c)
         c *= step
     caps.append(max_pts)
+    if half_steps:
+        extra = [
+            h for c in caps
+            for h in ((c * 3) // 2,)
+            if h % 1024 == 0 and min_pts <= h < max_pts
+        ]
+        caps = sorted(set(caps) | set(extra))
     return caps
+
+
+def eval_half_caps_default() -> bool:
+    """Default for inference-mode half-step buckets, env-overridable
+    (``TSP_EVAL_CAPS=fine|pow2``) so the engine and external
+    ``tile_order()`` callers always agree. Whether finer caps help is
+    distribution-dependent: with constant-points batches the padded
+    total is dispatch-granular, so in-tile padding saved is recovered
+    only when a half bucket fills whole dispatches — on the canonical
+    synthetic plot it is an exact wash (in-tile -119k pad, empty-row
+    +119k; BASELINE.md round-4), hence the pow2 default. Plots with
+    many tiles in a half bucket's range (e.g. 8193..12288) do win."""
+    return os.environ.get("TSP_EVAL_CAPS", "pow2").lower() == "fine"
 
 
 @dataclasses.dataclass
@@ -129,7 +159,8 @@ class TileBatcher:
                  shuffle: bool = False, seed: int = 0,
                  augment=None, bucket: bool = True,
                  capacity_step: int | None = None,
-                 scale_batch: bool | None = None):
+                 scale_batch: bool | None = None,
+                 half_caps: bool | None = None):
         """``capacity_step``/``scale_batch`` default per mode: bucketed
         (inference) iteration uses pow2 buckets (step=2) with the batch
         dim scaled to hold ~batch_size * max_cap points per dispatch —
@@ -146,11 +177,14 @@ class TileBatcher:
             capacity_step = 2 if bucket else 8
         if scale_batch is None:
             scale_batch = bucket
+        if half_caps is None:
+            half_caps = bucket and eval_half_caps_default()
         self.tiles = list(tiles)
         self.batch_size = batch_size
         self.with_labels = with_labels
         self.capacities = bucket_capacities(min_pts, max_pts,
-                                            step=capacity_step)
+                                            step=capacity_step,
+                                            half_steps=half_caps)
         self.shuffle = shuffle
         self.seed = seed
         self.augment = augment

@@ -61,6 +61,7 @@ agreement vs the exact host fusion is pinned in tests/test_tpu_fusion.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -88,11 +89,17 @@ PAIR_MAX_STACK = 512
 # fused-pair kernels exist only at these static source-slice sizes: a
 # per-tile pow2 cap set yields up to 16 (cap_f, cap_c) executables, and
 # every DISTINCT executable in the dispatch loop costs a ~30 ms switch
-# through the relay (scripts/pair_combo_probe.py) plus a compile. Two
-# sizes bound the loop at 4 executables; reading past a tile's true
-# region is masked by len and stays in-bounds because the extras tail is
-# at least FUSION_CAPS[-1] rows and flat_probs ships padded to match.
-FUSION_CAPS = (2048, 16384)
+# through the relay (scripts/pair_combo_probe.py) plus a compile. Few
+# sizes bound the loop; reading past a tile's true region is masked by
+# len and stays in-bounds because the extras tail is at least
+# FUSION_CAPS[-1] rows and flat_probs ships padded to match. Coverage
+# must include the largest batcher capacity. Env-overridable
+# (``TSP_FUSION_CAPS=2048,8192,16384``) for cap-set A/Bs; each extra cap
+# trades masked-candidate kNN scan for executable switches + warm-up
+# compiles, so the right set is host-dependent (BASELINE.md round-4).
+FUSION_CAPS = tuple(
+    int(c) for c in os.environ.get("TSP_FUSION_CAPS", "2048,16384").split(",")
+)
 
 
 def _fusion_cap(c: int) -> int:

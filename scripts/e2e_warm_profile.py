@@ -62,14 +62,20 @@ def main():
     # model/fusion timers reflect the zero-upload sink path — a
     # standalone run_inference/fuse_on_device call here would measure the
     # host-upload fallback instead and cold-compile its layout variants)
-    t6 = time.perf_counter()
-    out = semantic_segmentation(pc, tiles, variables, model_cfg,
-                                predict_cfg, tiling_cfg, mesh=mesh,
-                                verbose=True)
-    t7 = time.perf_counter()
-    print(f"engine warm e2e (semantic_segmentation): {t7 - t6:.2f}s "
-          f"({len(pc) / (t7 - t6):,.0f} pts/s, "
-          f"wood frac {out['label'].mean():.3f})")
+    walls = []
+    for i in range(int(os.environ.get("E2E_WARM_PASSES", 3))):
+        t6 = time.perf_counter()
+        out = semantic_segmentation(pc, tiles, variables, model_cfg,
+                                    predict_cfg, tiling_cfg, mesh=mesh,
+                                    verbose=True)
+        t7 = time.perf_counter()
+        walls.append(t7 - t6)
+        print(f"engine warm e2e pass {i}: {t7 - t6:.2f}s "
+              f"({len(pc) / (t7 - t6):,.0f} pts/s, "
+              f"wood frac {out['label'].mean():.3f})")
+    best = min(walls)
+    print(f"engine warm e2e best-of-{len(walls)}: {best:.2f}s "
+          f"({len(pc) / best:,.0f} pts/s)")
 
 
 if __name__ == "__main__":

@@ -151,6 +151,53 @@ def test_bucket_capacities():
     assert bucket_capacities(128, 500) == [256, 500]
 
 
+def test_bucket_capacities_half_steps():
+    caps = bucket_capacities(128, 16384, step=2, half_steps=True)
+    assert caps == [
+        256, 512, 1024, 2048, 3072, 4096, 6144, 8192, 12288, 16384
+    ]
+    # every half-step cap keeps the Pallas fast-kNN eligibility invariant
+    # (multiple of g*128 = 1024, ops/pallas_knn.py:148) and lane-aligned
+    # stage capacities
+    for c in caps:
+        if c not in (256, 512):
+            assert c % 1024 == 0
+        assert (c // 2) % 128 == 0
+    # below the 1024 floor no half caps appear
+    assert bucket_capacities(128, 1024, step=2, half_steps=True) == [
+        256, 512, 1024
+    ]
+
+
+def test_half_caps_batcher_constant_points_and_coverage():
+    rng = np.random.default_rng(5)
+    sizes = [100, 500, 2500, 3000, 5000, 9000, 12000, 16000]
+    tiles = [
+        Tile(points=rng.normal(size=(n, 4)).astype(np.float32),
+             grid_size=2.0)
+        for n in sizes
+    ]
+    batcher = TileBatcher(tiles, batch_size=8, min_pts=64, max_pts=16384,
+                          half_caps=True)
+    seen = []
+    for cap, batch, idxs in batcher:
+        b = batcher.batch_size_for(cap)
+        assert batch.pos.shape == (b, cap, 3)
+        assert b % 8 == 0  # mesh divisibility
+        for j, ti in enumerate(idxs):
+            assert batch.mask[j].sum() == len(tiles[ti])
+        seen.extend(idxs)
+    assert sorted(seen) == list(range(len(tiles)))
+    # a 9000-pt tile lands in the 12288 half bucket, not 16384
+    plan = {ti: cap for cap, ids in batcher.batch_plan() for ti in ids}
+    assert plan[sizes.index(9000)] == 12288
+    assert plan[sizes.index(16000)] == 16384
+    # tile_order/batch_plan agree with iteration order
+    order = batcher.tile_order()
+    it_order = [ti for _, _, idxs in batcher for ti in idxs]
+    assert order == it_order
+
+
 def test_pad_tiles_centering_and_sf():
     rng = np.random.default_rng(1)
     t1 = rng.normal(size=(50, 4)).astype(np.float32)
