@@ -14,12 +14,21 @@ reference README.md:73) — with honest device sync (block_until_ready is a
 no-op on this environment's tunneled backend; sync = host readback of a
 reduced scalar).
 
-Robustness (round-3 hardening after BENCH_r02 died on a transient TPU
-FAILED_PRECONDITION at the first warmup readback):
-  * per-readback retry, then whole-attempt retry with a backend reset
-    (clear_caches + clear_backends reconnects the tunneled client);
-  * kNN fallback ladder fast -> approx -> CPU backend so a number always
-    lands;
+Robustness (round-5 redesign after BENCH_r04 recorded 0.0: the relay was
+wedged outright — a trivial matmul hung >120 s — and the old descending
+270+150+150 ladder spent the whole budget on doomed TPU rungs, leaving
+the guaranteed CPU rung unreachable):
+  * a WEDGE PROBE opens the run: one trivial device matmul under SIGALRM.
+    If it hangs, every TPU rung is skipped, the CPU fallback runs
+    immediately, and the JSON carries "tpu_wedged": true;
+  * on a live backend the canonical compile gets ONE deadline sized to
+    the measured relay load p100 (~270-330 s; BASELINE.md cold-start
+    table shows 50-270 s regardless of cache state) instead of several
+    short rungs whose resets discard executable-load progress;
+  * CPU_RESERVE (default 90 s) of the budget is untouchable by TPU
+    attempts, so the CPU fallback ALWAYS has room and a nonzero value
+    always lands;
+  * per-readback retry for transient device errors (the BENCH_r02 mode);
   * a hard wall-clock budget (BENCH_TIME_BUDGET, default 540 s) enforced
     with SIGALRM — on expiry the JSON line is emitted with everything
     measured so far instead of the driver's timeout recording nothing.
@@ -66,6 +75,11 @@ ITERS = 8
 
 T0 = time.monotonic()
 TIME_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", 540))
+# Budget slice no TPU attempt may touch: the CPU fallback's guaranteed room.
+CPU_RESERVE = float(os.environ.get("BENCH_CPU_RESERVE", 90))
+# CPU-fallback tile size: small enough that compile+run fits CPU_RESERVE on
+# a 1-core host (the value is annotated as degraded either way).
+CPU_FALLBACK_N = int(os.environ.get("BENCH_CPU_FALLBACK_N", 4096))
 
 
 def elapsed():
@@ -215,61 +229,119 @@ def _arm(seconds):
         signal.alarm(max(int(min(seconds, remaining())), 1))
 
 
-def forward_benchmark():
-    """Fallback ladder: fast kNN (x2, backend reset between), approx kNN
-    (x2), then a CPU-backend measurement so a number ALWAYS lands.
+def _wedge_probe(deadline):
+    """One trivial jitted matmul + host readback under SIGALRM.
 
-    Each attempt gets its OWN deadline (a wedged tunnel can hang a single
-    compile indefinitely — observed >9 min on a compile the persistent
-    cache had served in seconds minutes earlier); on expiry the attempt is
-    abandoned, the backend reset, and the next rung tried, instead of one
-    hang eating the whole budget."""
-    last_err = None
-    for i, method in enumerate(["fast", "fast", "approx", "approx"]):
-        if remaining() < 60:
-            log("forward: skipping further attempts, budget nearly spent")
-            break
-        # first attempt: enough for a cold compile ladder (~200 s
-        # measured through the relay) but capped so ONE wedged compile
-        # still leaves budget for a warm retry AND the e2e phase (a
-        # wedge ate 420 s and skipped e2e when this was uncapped)
-        attempt_budget = (min(max(remaining() - 120, 90), 270)
-                          if i == 0 else 150)
-        try:
-            log(f"forward attempt {i + 1}: knn_method={method} "
-                f"(deadline {attempt_budget:.0f}s)")
-            _arm(attempt_budget)
-            pps, variables, extras = _forward_once(method)
-            if hasattr(signal, "SIGALRM"):
-                signal.alarm(0)
-            return pps, variables, method, extras
-        except BenchTimeout as e:
-            if remaining() < 30:
-                raise
-            last_err = e
-            log(f"forward attempt {i + 1} hit its deadline; resetting")
-            _reset_backend()
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            log(f"forward attempt {i + 1} failed: {type(e).__name__}: {e}")
-            _reset_backend()
+    The tunneled relay's documented failure mode is an outright wedge
+    where even a 256x256 matmul hangs for hours (BENCH_r04 post-mortem:
+    reproduced >120 s on a trivial op). Detect that in bounded time so
+    the budget is never spent on doomed TPU rungs. Returns
+    (live, seconds_spent)."""
+    import jax
+    import jax.numpy as jnp
 
-    # Last resort: host CPU so the driver still records a real measurement.
-    log("forward: falling back to CPU backend (degraded measurement)")
+    t0 = time.monotonic()
+    try:
+        if os.environ.get("BENCH_SIMULATE_WEDGE"):
+            # test hook: exercise the wedged path end-to-end without a
+            # wedged relay — sleep through the deadline like a hung op
+            log(f"wedge probe: BENCH_SIMULATE_WEDGE set, hanging {deadline:.0f}s")
+            _arm(deadline)
+            time.sleep(deadline + 30)
+        _arm(deadline)
+        x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256), jnp.float32))
+        float(np.asarray(x))
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
+        dt = time.monotonic() - t0
+        log(f"wedge probe: backend live ({dt:.1f}s, "
+            f"{jax.devices()[0].platform})")
+        return True, dt
+    except BenchTimeout:
+        log(f"wedge probe: trivial matmul hung >{deadline:.0f}s "
+            "-> relay wedged, skipping ALL TPU rungs")
+        return False, time.monotonic() - t0
+    except Exception as e:  # noqa: BLE001
+        log(f"wedge probe failed: {type(e).__name__}: {e} "
+            "-> treating backend as down")
+        return False, time.monotonic() - t0
+
+
+def _cpu_fallback():
+    """Guaranteed rung: measure on the host CPU backend so the driver
+    always records a real (annotated, degraded) number."""
+    log("forward: CPU-backend fallback (degraded measurement, annotated)")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     _reset_backend()
-    try:
-        _arm(remaining() - 10)
-        pps, variables, extras = _forward_once("approx", batch=1, warmup=1, iters=1)
-        return pps, variables, "cpu_fallback", extras
-    except BenchTimeout:
-        raise
-    except Exception as e:  # noqa: BLE001
-        raise RuntimeError(
-            f"all forward paths failed; last TPU error: {last_err!r}"
-        ) from e
+    _arm(max(remaining() - 5, 30))
+    pps, variables, extras = _forward_once(
+        "approx", batch=1, n=CPU_FALLBACK_N, warmup=1, iters=1
+    )
+    extras["cpu_fallback_config"] = {"batch": 1, "n": CPU_FALLBACK_N}
+    return pps, variables, "cpu_fallback", extras
+
+
+def forward_benchmark():
+    """Wedge probe -> at most two TPU attempts (one generously-sized
+    deadline, one warm retry) -> guaranteed CPU fallback.
+
+    Invariant: no TPU attempt may eat into the last CPU_RESERVE seconds
+    of the budget, so a nonzero value ALWAYS lands (VERDICT r4 item 1)."""
+    info = {}
+    # 75 s: a healthy relay's first trivial compile lands in 20-60 s
+    # (CLAUDE.md); the wedge mode hangs indefinitely. 60 s would misread a
+    # healthy-but-slow relay as wedged.
+    probe_deadline = min(75.0, remaining() - CPU_RESERVE - 10)
+    live = False
+    if probe_deadline >= 15:
+        live, probe_dt = _wedge_probe(probe_deadline)
+        info["tpu_probe_seconds"] = round(probe_dt, 1)
+    else:
+        log("forward: no budget for a TPU probe; going straight to CPU")
+    if not live:
+        info["tpu_wedged"] = True
+        pps, variables, method, extras = _cpu_fallback()
+        extras.update(info)
+        return pps, variables, method, extras
+
+    last_err = None
+    for attempt in range(2):
+        budget_left = remaining() - CPU_RESERVE
+        if budget_left < 60:
+            log("forward: TPU budget exhausted (CPU reserve untouched)")
+            break
+        # One deadline sized to the measured relay executable-load p100
+        # (~270 s even on persistent-cache HITs; BASELINE.md cold-start
+        # table) — short rungs with resets discard load progress.
+        deadline = min(budget_left - 10, 330)
+        method = "fast" if attempt == 0 or isinstance(
+            last_err, BenchTimeout) else "approx"
+        try:
+            log(f"forward attempt {attempt + 1}: knn_method={method} "
+                f"(deadline {deadline:.0f}s, cpu reserve {CPU_RESERVE:.0f}s)")
+            _arm(deadline)
+            pps, variables, extras = _forward_once(method)
+            if hasattr(signal, "SIGALRM"):
+                signal.alarm(0)
+            extras.update(info)
+            return pps, variables, method, extras
+        except BenchTimeout as e:
+            last_err = e
+            log(f"forward attempt {attempt + 1} hit its deadline; resetting "
+                "(a warm retry can be served by the persistent cache)")
+            _reset_backend()
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            log(f"forward attempt {attempt + 1} failed: "
+                f"{type(e).__name__}: {e}")
+            _reset_backend()
+
+    info["tpu_error"] = repr(last_err)
+    pps, variables, method, extras = _cpu_fallback()
+    extras.update(info)
+    return pps, variables, method, extras
 
 
 def e2e_benchmark(variables, n_points):
