@@ -72,8 +72,16 @@ def eval_half_caps_default() -> bool:
     only when a half bucket fills whole dispatches — on the canonical
     synthetic plot it is an exact wash (in-tile -119k pad, empty-row
     +119k; BASELINE.md round-4), hence the pow2 default. Plots with
-    many tiles in a half bucket's range (e.g. 8193..12288) do win."""
-    return os.environ.get("TSP_EVAL_CAPS", "pow2").lower() == "fine"
+    many tiles in a half bucket's range (e.g. 8193..12288) do win.
+
+    Values outside {fine, pow2} raise: a typo silently selecting pow2
+    would desynchronize an external tile_order() caller from the engine.
+    """
+    mode = os.environ.get("TSP_EVAL_CAPS", "pow2").strip().lower()
+    if mode not in ("fine", "pow2"):
+        raise ValueError(
+            f"TSP_EVAL_CAPS must be 'fine' or 'pow2', got {mode!r}")
+    return mode == "fine"
 
 
 @dataclasses.dataclass

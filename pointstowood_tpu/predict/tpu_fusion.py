@@ -97,16 +97,38 @@ PAIR_MAX_STACK = 512
 # (``TSP_FUSION_CAPS=2048,8192,16384``) for cap-set A/Bs; each extra cap
 # trades masked-candidate kNN scan for executable switches + warm-up
 # compiles, so the right set is host-dependent (BASELINE.md round-4).
-FUSION_CAPS = tuple(
-    int(c) for c in os.environ.get("TSP_FUSION_CAPS", "2048,16384").split(",")
-)
+def _parse_fusion_caps(raw: str) -> tuple:
+    """Validated, ascending fusion cap set. _fusion_cap() rounds UP to the
+    first covering cap and the extras-tail/in-bounds invariants assume the
+    last element is the maximum, so an unsorted or malformed set must fail
+    loudly here, not corrupt candidate scans later."""
+    try:
+        caps = tuple(sorted({int(c) for c in raw.split(",") if c.strip()}))
+    except ValueError as e:
+        raise ValueError(
+            f"TSP_FUSION_CAPS must be comma-separated integers, got {raw!r}"
+        ) from e
+    if not caps or caps[0] <= 0:
+        raise ValueError(
+            f"TSP_FUSION_CAPS entries must be positive, got {raw!r}")
+    return caps
+
+
+FUSION_CAPS = _parse_fusion_caps(
+    os.environ.get("TSP_FUSION_CAPS", "2048,16384"))
 
 
 def _fusion_cap(c: int) -> int:
+    """Smallest FUSION_CAP covering c. Rounding DOWN would make the pair
+    kernel scan only cap rows of a longer source region — silently wrong
+    fusion — so uncovered capacities are a hard error (checked again at
+    plan-build time against the actual tile layout)."""
     for fc in FUSION_CAPS:
         if c <= fc:
             return fc
-    return FUSION_CAPS[-1]
+    raise ValueError(
+        f"tile capacity {c} exceeds every fusion cap {FUSION_CAPS}; set "
+        f"TSP_FUSION_CAPS to cover the batcher's largest capacity")
 
 
 def _stack_chunks(n: int) -> list:
@@ -738,6 +760,13 @@ def plan_fusion(
         return cached
     if layout is None:
         layout = layout_tight(tiles, order)
+    max_cap = int(np.max(layout.cap)) if len(layout.cap) else 0
+    if max_cap > FUSION_CAPS[-1]:
+        raise ValueError(
+            f"fusion caps {FUSION_CAPS} do not cover the batcher's largest "
+            f"tile capacity {max_cap}; the pair kernel would scan only "
+            f"{FUSION_CAPS[-1]} of {max_cap} source rows (silently wrong "
+            f"fusion). Extend TSP_FUSION_CAPS.")
 
     n_q = query_xyz.shape[0]
     xyz32 = query_xyz.astype(np.float32)

@@ -157,11 +157,15 @@ def test_bucket_capacities_half_steps():
         256, 512, 1024, 2048, 3072, 4096, 6144, 8192, 12288, 16384
     ]
     # every half-step cap keeps the Pallas fast-kNN eligibility invariant
-    # (multiple of g*128 = 1024, ops/pallas_knn.py:148) and lane-aligned
-    # stage capacities
+    # — assert directly against the kernel's own gate rather than a
+    # line-number anchor that drifts
+    from pointstowood_tpu.ops.pallas_knn import supported
+
     for c in caps:
         if c not in (256, 512):
             assert c % 1024 == 0
+        if c >= 2048:
+            assert supported(c, 32), f"half cap {c} lost kernel eligibility"
         assert (c // 2) % 128 == 0
     # below the 1024 floor no half caps appear
     assert bucket_capacities(128, 1024, step=2, half_steps=True) == [
