@@ -182,3 +182,35 @@ class ReflectanceGate(nn.Module):
             )
         _ = nn.Dense(1, name="fc3")(pooled)  # dead: gate is identically 1
         return jnp.ones_like(reflectance)
+
+
+class ReflectanceWeighting(nn.Module):
+    """The reference's ReflectanceWeighting module (model.py:177-196).
+
+    DEAD CODE UPSTREAM: defined but never instantiated by the reference
+    Net, so its parameters appear in no checkpoint and it affects no
+    output. Provided so the component inventory is complete including the
+    reference's dead code; wiring it in is a deliberate model change.
+
+    Semantics (dense/masked formulation of the reference's flat-graph
+    one): a 2-layer ReLU MLP over per-point reflectance, mean-pooled per
+    tile (the reference's scatter_add / bincount pooling over `batch`),
+    projected to one relu'd scalar weight per tile, broadcast back to
+    every point of that tile.
+    """
+
+    hidden_dim: int = 32
+
+    @nn.compact
+    def __call__(self, reflectance, mask=None):
+        h = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(reflectance[..., None]))
+        h = nn.relu(nn.Dense(self.hidden_dim, name="fc2")(h))
+        if mask is None:
+            pooled = jnp.mean(h, axis=-2)
+        else:
+            m = mask[..., None]
+            pooled = jnp.sum(jnp.where(m, h, 0.0), axis=-2) / jnp.maximum(
+                jnp.sum(m.astype(h.dtype), axis=-2), 1.0
+            )
+        w = nn.relu(nn.Dense(1, name="fc3")(pooled))  # (..., 1) per tile
+        return jnp.broadcast_to(w, reflectance.shape)

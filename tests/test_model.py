@@ -191,6 +191,29 @@ def test_gate_params_exist_but_are_inert():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_reflectance_weighting_semantics():
+    """ReflectanceWeighting is dead code upstream (defined, never
+    instantiated — model.py:177-196) but the inventory carries it: one
+    relu'd scalar per tile from mean-pooled MLP features, broadcast to
+    every point, padding excluded from the pool."""
+    from pointstowood_tpu.model.layers import ReflectanceWeighting
+
+    mod = ReflectanceWeighting(hidden_dim=8)
+    rng = np.random.default_rng(3)
+    refl = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    mask = jnp.asarray(np.arange(16)[None, :] < np.array([[16], [9]]))
+    v = mod.init(jax.random.key(0), refl, mask=mask)
+    w = np.asarray(mod.apply(v, refl, mask=mask))
+    assert w.shape == (2, 16)
+    assert (w >= 0).all()
+    # per-tile constant weight broadcast to every point
+    assert np.allclose(w, w[:, :1])
+    # masked pooling: padding rows must not influence the weight
+    refl2 = refl.at[1, 9:].set(1e3)
+    w2 = np.asarray(mod.apply(v, refl2, mask=mask))
+    np.testing.assert_allclose(w, w2)
+
+
 def test_param_count_matches_reference_formula():
     """The reference prints sum(p.numel()); our total must equal the same
     architecture arithmetic at C=32 (computed independently below)."""
