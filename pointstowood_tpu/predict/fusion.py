@@ -120,7 +120,26 @@ def knn_indices(source_xyz: np.ndarray, query_xyz: np.ndarray, k: int) -> np.nda
     k-d tree's adaptive splits beat a uniform grid on strongly non-uniform
     density, so it is the default and the grid covers scipy-less installs.
     Either way this host path is the fallback tier; plot-scale fusion
-    normally runs on device (predict/tpu_fusion.py)."""
+    normally runs on device (predict/tpu_fusion.py). At plot scale the
+    host tier is SLOW and says so loudly: the reference regime is a
+    10^7 x 10^7 global query (src/predicter.py:136-137), ~minutes of
+    single-core host kNN here."""
+    n_q = int(len(query_xyz))
+    if n_q >= 1_000_000:
+        import warnings
+
+        est = n_q / 1e6 * (10.8 if k <= 32 else 21.1)
+        warnings.warn(
+            f"plot-scale fusion fell back to the HOST kNN tier "
+            f"({n_q:,} queries x {len(source_xyz):,} sources, k={k}): "
+            f"expect ~{est:.0f}s of single-core search (measured "
+            f"scripts/host_fusion_bench.py). The device fusion path "
+            f"(predict/tpu_fusion.py) declines only non-dual-grid / "
+            f"cluster_features / min_pts<32 configs — prefer those "
+            f"defaults at plot scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     try:
         from scipy.spatial import cKDTree
     except Exception as e:  # pragma: no cover - scipy is a std dependency

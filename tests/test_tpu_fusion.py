@@ -342,3 +342,22 @@ def test_query_slots_inverts_perm(tiled_cloud):
         assert slots[qrow] == slot
     # and every valid perm entry is covered
     assert set(plan.perm[vm].tolist()) == set(np.flatnonzero(covered).tolist())
+
+
+def test_host_knn_plot_scale_warning():
+    """The host kNN tier must warn loudly at plot scale (>= 1e6 queries)
+    with a measured cost estimate — a silent scipy fallback at the
+    reference's 10^7-row regime costs minutes (VERDICT r4 item 7 /
+    BASELINE.md host_fusion_bench)."""
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(64, 3)).astype(np.float32)
+    q = rng.normal(size=(1_000_000, 3)).astype(np.float32)
+    with pytest.warns(RuntimeWarning, match="HOST kNN tier"):
+        idx = knn_indices(src, q, 1)
+    assert idx.shape == (len(q), 1)
+    # below the threshold: silent
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        knn_indices(src, q[:1000], 1)
