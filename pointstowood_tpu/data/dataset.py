@@ -66,18 +66,24 @@ def bucket_capacities(min_pts: int, max_pts: int, step: int = 8,
 def eval_half_caps_default() -> bool:
     """Default for inference-mode half-step buckets, env-overridable
     (``TSP_EVAL_CAPS=fine|pow2``) so the engine and external
-    ``tile_order()`` callers always agree. Whether finer caps help is
-    distribution-dependent: with constant-points batches the padded
-    total is dispatch-granular, so in-tile padding saved is recovered
-    only when a half bucket fills whole dispatches — on the canonical
-    synthetic plot it is an exact wash (in-tile -119k pad, empty-row
-    +119k; BASELINE.md round-4), hence the pow2 default. Plots with
-    many tiles in a half bucket's range (e.g. 8193..12288) do win.
+    ``tile_order()`` callers always agree (the regime measurement is
+    memoized per process, so they agree without the env var too).
 
-    Values outside {fine, pow2} raise: a typo silently selecting pow2
-    would desynchronize an external tile_order() caller from the engine.
+    Whether finer caps help is host-dependent: in-tile padding saved
+    becomes extra executable switches, ~free on a local-PJRT host but
+    ~30 ms each through a tunneled relay (BASELINE.md round-4) — so the
+    unset default is chosen by the measured host regime. Values outside
+    {fine, pow2} raise: a typo silently selecting pow2 would
+    desynchronize an external tile_order() caller from the engine.
     """
-    mode = os.environ.get("TSP_EVAL_CAPS", "pow2").strip().lower()
+    mode = os.environ.get("TSP_EVAL_CAPS", "").strip().lower()
+    if mode == "":
+        # unset: chosen by the measured host regime (see utils/host_regime)
+        # — fine half-step caps recover ~24% padding on local-PJRT hosts
+        # but lose to the ~30 ms/executable-switch cost through a relay
+        from pointstowood_tpu.utils.host_regime import host_regime
+
+        return host_regime() == "local"
     if mode not in ("fine", "pow2"):
         raise ValueError(
             f"TSP_EVAL_CAPS must be 'fine' or 'pow2', got {mode!r}")

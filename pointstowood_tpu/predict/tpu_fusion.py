@@ -114,20 +114,39 @@ def _parse_fusion_caps(raw: str) -> tuple:
     return caps
 
 
-FUSION_CAPS = _parse_fusion_caps(
-    os.environ.get("TSP_FUSION_CAPS", "2048,16384"))
+_FUSION_CAPS: tuple | None = None
+
+
+def fusion_caps() -> tuple:
+    """The active fusion cap set, memoized per process. TSP_FUSION_CAPS
+    overrides; unset, the measured host regime decides (utils/host_regime):
+    two caps through a relay (each extra cap costs ~30 ms/switch + a
+    warm-up compile there), three on a local-PJRT host (the third cap cuts
+    the masked-candidate kNN scan — BASELINE.md round-4 projects ~325 ms
+    of the 1.56 s device floor back)."""
+    global _FUSION_CAPS
+    if _FUSION_CAPS is None:
+        raw = os.environ.get("TSP_FUSION_CAPS")
+        if raw is None:
+            from pointstowood_tpu.utils.host_regime import host_regime
+
+            raw = ("2048,16384" if host_regime() == "relay"
+                   else "2048,8192,16384")
+        _FUSION_CAPS = _parse_fusion_caps(raw)
+    return _FUSION_CAPS
 
 
 def _fusion_cap(c: int) -> int:
-    """Smallest FUSION_CAP covering c. Rounding DOWN would make the pair
+    """Smallest fusion cap covering c. Rounding DOWN would make the pair
     kernel scan only cap rows of a longer source region — silently wrong
     fusion — so uncovered capacities are a hard error (checked again at
     plan-build time against the actual tile layout)."""
-    for fc in FUSION_CAPS:
+    caps = fusion_caps()
+    for fc in caps:
         if c <= fc:
             return fc
     raise ValueError(
-        f"tile capacity {c} exceeds every fusion cap {FUSION_CAPS}; set "
+        f"tile capacity {c} exceeds every fusion cap {caps}; set "
         f"TSP_FUSION_CAPS to cover the batcher's largest capacity")
 
 
@@ -652,7 +671,7 @@ class FusionPlan:
     with the model phase."""
 
     __slots__ = ("layout", "n_q", "n_slots", "nsp", "perm", "dispatches",
-                 "combos", "n_near", "extra_perm", "ecap", "_inv")
+                 "combos", "n_near", "extra_perm", "ecap", "_inv", "_inv_dev")
 
     def __init__(self, layout, n_q, n_slots, nsp, perm, dispatches,
                  combos, n_near, extra_perm, ecap):
@@ -662,6 +681,7 @@ class FusionPlan:
         self.nsp = nsp          # padded slots (power-of-two device arrays)
         self.perm = perm        # (n_slots,) int64 slot -> query row, -1 pad
         self._inv = None        # lazy (n_q,) query row -> slot (see below)
+        self._inv_dev = None    # lazy device-resident int32 copy of _inv
         # [(cap_f, cap_c, base, q_off, qlens, off_f, len_f, off_c, len_c)]
         self.dispatches = dispatches
         self.combos = combos    # sorted {(cap_f, cap_c)} present
@@ -691,6 +711,17 @@ class FusionPlan:
             inv[self.perm[vm]] = np.flatnonzero(vm)
             self._inv = inv
         return self._inv
+
+    def query_slots_dev(self):
+        """Device-resident int32 inverse permutation (see query_slots),
+        uploaded once per plan — at plan-build time, concurrently with the
+        model phase — so the post-model unpermute is a device gather and
+        the single readback returns already query-ordered (VERDICT r4
+        item 5: the host-side 0.15 s gather at 1M queries leaves the warm
+        path). int32 is safe: n_slots is bounded by padded query rows."""
+        if self._inv_dev is None or self._inv_dev.is_deleted():
+            self._inv_dev = jnp.asarray(self.query_slots().astype(np.int32))
+        return self._inv_dev
 
 
 _PLAN_CACHE: "dict[tuple, FusionPlan]" = {}
@@ -723,8 +754,11 @@ def _plan_signature(tiles, order, query_xyz, min_pts, max_pts,
         h.update(np.asarray(layout.off, np.int64).tobytes())
         h.update(np.asarray(layout.lens, np.int64).tobytes())
         h.update(np.int64(layout.mp).tobytes())
+    # the active cap set shapes every dispatch: a plan built under one
+    # regime must never be served under another (A/B runs, tests)
     return (n_q, len(tiles), int(min_pts), int(max_pts),
-            bool(cluster_features), layout is None, h.hexdigest())
+            bool(cluster_features), layout is None, fusion_caps(),
+            h.hexdigest())
 
 
 def plan_fusion(
@@ -761,11 +795,11 @@ def plan_fusion(
     if layout is None:
         layout = layout_tight(tiles, order)
     max_cap = int(np.max(layout.cap)) if len(layout.cap) else 0
-    if max_cap > FUSION_CAPS[-1]:
+    if max_cap > fusion_caps()[-1]:
         raise ValueError(
-            f"fusion caps {FUSION_CAPS} do not cover the batcher's largest "
+            f"fusion caps {fusion_caps()} do not cover the batcher's largest "
             f"tile capacity {max_cap}; the pair kernel would scan only "
-            f"{FUSION_CAPS[-1]} of {max_cap} source rows (silently wrong "
+            f"{fusion_caps()[-1]} of {max_cap} source rows (silently wrong "
             f"fusion). Extend TSP_FUSION_CAPS.")
 
     n_q = query_xyz.shape[0]
@@ -915,16 +949,17 @@ def plan_fusion(
             else np.zeros(0, np.int64))
     extra_perm = (np.concatenate(extra_parts) if extra_parts
                   else np.zeros(0, np.int64))
-    # the extras tail is at least FUSION_CAPS[-1] rows so a rounded-cap
+    # the extras tail is at least fusion_caps()[-1] rows so a rounded-cap
     # source slice (or a resident query slice) at the very end of the
     # flat array (off < mp) can never go out of bounds or clamp
     ecap = max(_next_cap(max(extra_perm.size, 1)), PAIR_QCHUNK,
-               FUSION_CAPS[-1])
+               fusion_caps()[-1])
     plan = FusionPlan(
         layout, n_q, base, max(_next_cap(max(base, max_end)), 2048), perm,
         dispatches, sorted(by_combo), n_near, extra_perm, ecap,
     )
-    plan.query_slots()  # build the inverse here, off the post-model path
+    plan.query_slots()      # build the inverse here, off the post-model path
+    plan.query_slots_dev()  # and ship it to the device off that path too
     while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[sig] = plan
@@ -1082,6 +1117,7 @@ def fuse_on_device(
 
     t_disp = _time.perf_counter()
     n_dev = 1 if mesh is None else int(mesh.devices.size)
+    pv = None  # query-ordered packed values (set on-device when possible)
     if n_dev > 1 and plan.dispatches:
         # multi-chip: stack each combo's dispatches and shard_map them
         # over the data axis — every chip fuses its own slice of the
@@ -1130,26 +1166,34 @@ def fuse_on_device(
                 jnp.float32(any_wood), k_out, any_wood == 1, cap_f, cap_c,
             )
         t_launched = _time.perf_counter()
-        # slice on device so the readback moves only the used slots (nsp
-        # is power-of-two padded — up to 2x the bytes on a slow link)
-        packed = np.asarray(acc[: plan.n_slots])
+        # unpermute ON DEVICE: gather acc[:n_slots] through the resident
+        # inverse permutation (VERDICT r4 item 5). The uncovered-row
+        # sentinel n_slots is out of bounds of the SLICE (not of acc,
+        # whose [n_slots, nsp) tail holds dispatch-padding garbage), so
+        # mode='fill' zeroes exactly those rows. The single readback is
+        # then already query-ordered and n_q-sized (n_slots >= n_q).
+        pv = np.asarray(jnp.take(acc[: plan.n_slots],
+                                 plan.query_slots_dev(),
+                                 mode="fill", fill_value=0))
         if verbose:
             print(f"fusion: {len(plan.dispatches)} dispatches "
-                  f"(launch {t_launched - t_disp:.2f}s, compute+readback "
-                  f"{_time.perf_counter() - t_launched:.2f}s, "
-                  f"{plan.nsp} slots)")
+                  f"(launch {t_launched - t_disp:.2f}s, compute+unpermute+"
+                  f"readback {_time.perf_counter() - t_launched:.2f}s, "
+                  f"{plan.nsp} slots -> {n_q} rows)")
 
-    t_unperm = _time.perf_counter()
-    # gather (not scatter) through the plan-time inverse permutation;
-    # one zero pad slot serves every uncovered query row
-    packed_pad = np.zeros(plan.n_slots + 1, np.uint16)
-    packed_pad[: plan.n_slots] = packed
-    pv = packed_pad[plan.query_slots()]
+    if pv is None:
+        t_unperm = _time.perf_counter()
+        # multi-device path read back slot-ordered stacks: gather (not
+        # scatter) through the plan-time inverse permutation; one zero pad
+        # slot serves every uncovered query row
+        packed_pad = np.zeros(plan.n_slots + 1, np.uint16)
+        packed_pad[: plan.n_slots] = packed
+        pv = packed_pad[plan.query_slots()]
+        if verbose:
+            print(f"fusion: unpermute {_time.perf_counter() - t_unperm:.2f}s")
     out = np.empty((n_q, 2), np.float64)
     out[:, 0] = pv >> 11  # uint16: bit 11 = label, bits 0-10 = pwood * 2046
     out[:, 1] = (pv & 0x7FF) * (1.0 / 2046.0)
-    if verbose:
-        print(f"fusion: unpermute {_time.perf_counter() - t_unperm:.2f}s")
     return out
 
 
