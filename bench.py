@@ -471,6 +471,8 @@ def main():
         )
 
         e2e_points = int(os.environ.get("BENCH_E2E_POINTS", 1_000_000))
+        if e2e_points and method == "cpu_fallback":
+            result["e2e_skipped"] = "cpu_fallback (no TPU available)"
         if e2e_points and method != "cpu_fallback":
             if remaining() < 120:
                 log("e2e: skipped (time budget nearly spent)")
