@@ -290,10 +290,12 @@ def forward_benchmark():
     Invariant: no TPU attempt may eat into the last CPU_RESERVE seconds
     of the budget, so a nonzero value ALWAYS lands (VERDICT r4 item 1)."""
     info = {}
-    # 75 s: a healthy relay's first trivial compile lands in 20-60 s
-    # (CLAUDE.md); the wedge mode hangs indefinitely. 60 s would misread a
-    # healthy-but-slow relay as wedged.
-    probe_deadline = min(75.0, remaining() - CPU_RESERVE - 10)
+    # 100 s: a healthy relay's first trivial compile usually lands in
+    # 20-60 s but was MEASURED at 73.6 s minutes after a wedge cleared
+    # (r5); the wedge mode hangs indefinitely, so the deadline only
+    # bounds wasted budget on a dead backend — generous beats a false
+    # "wedged" that discards a live TPU.
+    probe_deadline = min(100.0, remaining() - CPU_RESERVE - 10)
     live = False
     if probe_deadline >= 15:
         live, probe_dt = _wedge_probe(probe_deadline)
