@@ -19,18 +19,18 @@ Two selection paths:
   against KD-tree oracles remain exact.
 * ``method='exact'``: streaming scan that keeps a running top-k via
   ``lax.top_k`` merges in full fp32 — the parity path.
-* ``method='fast'``: Pallas-fused grouped two-stage selection
-  (ops/pallas_knn.py): one kernel computes fp32 distances on the MXU and
-  folds g=8 strided column blocks into slot-packed group minima; XLA's
-  approx_min_k then selects over the 8x smaller matrix. fp32 ranking
-  (vs the approx path's bf16 matrix) lifts achievable recall, so the
-  stage-2 recall_target buys more true recall per millisecond. Measured
-  at the SA1 shape (8x8192x16384, k=32, v5e) against approx@0.95 =
-  21.1 ms / 0.953 true recall: fast@0.90 = 13.9 ms / 0.970 (bf16x3
-  kernel matmul — fp32-exact 'highest' gives identical recall at
-  17.8 ms; single-pass bf16 gives 11.0 ms / 0.944). The model default.
-  Falls back to the approx path when the kernel's shape constraints
-  don't hold (n < 2048 or n % 1024 != 0).
+* ``method='fast'``: Pallas-fused grouped selection (ops/pallas_knn.py):
+  one kernel computes fp32 distances on the MXU, folds g=8 strided
+  column blocks into slot-packed group minima, folds AGAIN keeping the
+  top-2 survivors per 256-wide column, and extracts the top-k in-kernel
+  — no stage-2 selection op, only (Q, 2k) reaches HBM
+  (pallas_knn.group_min_topk). Measured at the SA1 shape (8x8192x16384,
+  k=32, v5e, scripts/inkernel_topk_probe.py): 20.25 ms / 0.9915 true
+  recall vs 23.64 ms / 0.9708 for the round-2 group_min+approx_min_k
+  two-stage (itself 45x faster than exact at ~the approx path's
+  21.1 ms / 0.953). The model default. Shapes without a valid second
+  fold use the two-stage path; shapes outside the kernel constraints
+  (n < 2048 or n % 1024 != 0) fall back to the approx path.
 """
 
 from __future__ import annotations
@@ -142,6 +142,23 @@ def _fast_knn(q, s, smask, k, recall_target, query_block, with_dist):
         pad = (-n_q) % pallas_knn.TOP2_QUERY_BLOCK
         q_p = _pad_to(q, n_q + pad)
         vals, idx = pallas_knn.top2(q_p, s, penalty)
+        idx, vals = idx[:n_q], vals[:n_q]
+        if not with_dist:
+            # masked selections come back clamped near fp32-max, not +inf
+            return idx, jnp.where(vals > 1e38, _INF, vals)
+        sel = s[idx]
+        d2 = jnp.sum(jnp.square(q[:, None, :] - sel), axis=-1)
+        return idx, jnp.where(smask[idx], d2, _INF)
+    g = pallas_knn.topk_supported(n, k)
+    if g:
+        # fully in-kernel top-k (two-survivor second fold + extraction):
+        # no stage-2 op, (Q, 2k) to HBM, measured faster AND higher
+        # recall than group_min+approx_min_k (20.25 ms / 0.9915 vs
+        # 23.64 ms / 0.9708 at the SA1 shape, inkernel_topk_probe.py)
+        penalty = jnp.sum(s * s, axis=1) + jnp.where(smask, 0.0, _INF)
+        pad = (-n_q) % pallas_knn.QUERY_BLOCK
+        q_p = _pad_to(q, n_q + pad)
+        vals, idx = pallas_knn.group_min_topk(q_p, s, penalty, g, k)
         idx, vals = idx[:n_q], vals[:n_q]
         if not with_dist:
             # masked selections come back clamped near fp32-max, not +inf

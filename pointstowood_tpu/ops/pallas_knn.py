@@ -210,6 +210,180 @@ def member_index(gidx: jax.Array, slot: jax.Array, n: int, g: int):
     return (gidx // npg) * jnp.int32(n_block) + slot * npg + (gidx % npg)
 
 
+_SLICE_BITS = 3    # second-fold slice id (<= 8 slices)
+_TOPK_BIG = 3.0e38  # masked-source clamp (packing slice bits into +inf
+# would produce NaN and poison the fold minimums)
+
+
+def _topk_fold(npg: int) -> int:
+    """Second-fold column width for npg first-fold groups: the largest
+    lane-aligned divisor of npg <= 256 whose slice count fits _SLICE_BITS.
+    0 = unsupported shape."""
+    for fold in (256, 128):
+        if npg % fold == 0 and npg // fold <= (1 << _SLICE_BITS):
+            return fold
+    return 0
+
+
+def topk_supported(n: int, k: int) -> int:
+    """Largest group count for the fused top-k kernel (0 = not usable):
+    the group_min constraints plus a valid second-fold width and k within
+    the fold's 2-survivor candidate set, single N block."""
+    g = supported(n, k)
+    if not g or n > N_BLOCK_MAX:
+        return 0
+    fold = _topk_fold(n // g)
+    if not fold or k > 2 * fold:
+        return 0
+    return g
+
+
+def _make_topk_kernel(g: int, npg: int, n: int, fold: int, k: int):
+    """group_min + a SECOND fold keeping the top-2 packed values per
+    ``fold``-wide column + in-kernel top-k extraction.
+
+    Selecting k=32 of npg=2048 via approx_min_k is row-overhead dominated
+    (BASELINE.md); folding to (QB, fold) with TWO survivors per column
+    first makes a lost neighbor require a 3-way collision of the true
+    top-k in one column (expected per-neighbor loss ~C(32,3)/256^2/32 ≈
+    0.02%), and the k extraction passes then run on a matrix 4x smaller
+    than stage 2 saw. Measured at the SA1 shape (8x8192x16384, v5e,
+    scripts/inkernel_topk_probe.py): 20.25 ms / 0.9915 recall vs the
+    group_min+amk@0.9 path's 23.64 ms / 0.9708 — faster AND more
+    accurate, so it replaces amk wherever the shape allows. Only (Q, 2k)
+    values+indices ever reach HBM.
+
+    Packing layout (low mantissa bits): [dist][slot:4][slice:3] — 7 ulp
+    ranking noise, still far below the bf16-matmul alternative."""
+    n_half = n // _HALVES
+    blocks_per_half = g // _HALVES
+    slices = npg // fold
+
+    def dot_f32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def kernel(q_ref, st_ref, pen_ref, vals_ref, idx_ref):
+        qb = q_ref[:]
+        # fold 1: the group_min pipeline (bf16x3 distances), slot packed
+        # into the low SLOT_BITS; +inf clamped finite BEFORE packing
+        m = None
+        slot = None
+        for h in range(_HALVES):
+            lo_h = h * n_half
+            sth = st_ref[:, lo_h : lo_h + n_half]
+            ah = qb.astype(jnp.bfloat16)
+            al = (qb - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = sth.astype(jnp.bfloat16)
+            bl = (sth - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = (dot_f32(ah, bh) + (dot_f32(ah, bl) + dot_f32(al, bh))
+                 ) + pen_ref[:, lo_h : lo_h + n_half]
+            d = jnp.minimum(d, _TOPK_BIG)
+            for a in range(blocks_per_half):
+                blk = h * blocks_per_half + a
+                da = d[:, a * npg : (a + 1) * npg]
+                if m is None:
+                    m = da
+                    slot = jnp.zeros(da.shape, jnp.uint32)
+                else:
+                    upd = da < m
+                    m = jnp.where(upd, da, m)
+                    slot = jnp.where(upd, jnp.uint32(blk), slot)
+        bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+        packed1 = ((bits >> SLOT_BITS) << SLOT_BITS) | slot
+        mp = jax.lax.bitcast_convert_type(packed1, jnp.float32)
+
+        # fold 2: top-2 per fold-wide column, slice id into 3 more bits
+        total = SLOT_BITS + _SLICE_BITS
+        m1 = m2 = None
+        for a in range(slices):
+            sl = mp[:, a * fold : (a + 1) * fold]
+            b = jax.lax.bitcast_convert_type(sl, jnp.uint32)
+            s4 = b & ((1 << SLOT_BITS) - 1)
+            pb = ((b >> total) << total) | (s4 << _SLICE_BITS)
+            if a:
+                pb = pb | a
+            p = jax.lax.bitcast_convert_type(pb, jnp.float32)
+            if m1 is None:
+                m1 = p
+                m2 = jnp.full(p.shape, _TOPK_BIG, jnp.float32)
+            else:
+                upd = p < m1
+                m2 = jnp.where(upd, m1, jnp.minimum(m2, p))
+                m1 = jnp.where(upd, p, m1)
+        cand = jnp.concatenate([m1, m2], axis=1)  # (QB, 2*fold)
+
+        # top-k extraction: k unrolled iota-argmin + mask passes over the
+        # candidate matrix; unpack [slot][slice] + column -> source row
+        iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+        vcols = []
+        icols = []
+        for _ in range(k):
+            v = jnp.min(cand, axis=1, keepdims=True)
+            j = jnp.min(jnp.where(cand <= v, iota, 2 * fold), axis=1,
+                        keepdims=True)
+            cand = jnp.where(iota == j, _TOPK_BIG, cand)
+            vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            a = (vb & ((1 << _SLICE_BITS) - 1)).astype(jnp.int32)
+            s4 = ((vb >> _SLICE_BITS) & ((1 << SLOT_BITS) - 1)).astype(
+                jnp.int32)
+            col = j & (fold - 1)  # j in [0, 2*fold); m2 cols alias m1's
+            gidx = a * fold + col
+            vcols.append(v)
+            icols.append(s4 * npg + gidx)  # single-block member_index
+        vals_ref[:] = jnp.concatenate(vcols, axis=1)
+        idx_ref[:] = jnp.concatenate(icols, axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g", "k"))
+def group_min_topk(q: jax.Array, s: jax.Array, penalty: jax.Array,
+                   g: int, k: int):
+    """Fused grouped top-k: the group_min pipeline plus a two-survivor
+    second fold and in-kernel extraction — no stage-2 selection op.
+
+    q: (Q, 3) fp32 (Q a multiple of QUERY_BLOCK); s: (N, 3) fp32 with
+    ``topk_supported(N, k) == g``; penalty: (N,) = ||s||^2, +inf at
+    masked rows. Returns vals (Q, k) fp32 selection values (pen - 2 q.s,
+    slot/slice-packed, clamped near fp32-max where masked — filter with
+    ``vals > 1e38``), idx (Q, k) int32 source rows."""
+    n = s.shape[0]
+    npg = n // g
+    fold = _topk_fold(npg)
+    q_n = q.shape[0]
+    q4 = jnp.concatenate([q, jnp.zeros((q_n, 1), jnp.float32)], axis=1)
+    st = jnp.concatenate(
+        [(-2.0) * s.T, jnp.ones((1, n), jnp.float32)], axis=0
+    )
+    pen = penalty[None, :]
+    interpret = jax.devices()[0].platform == "cpu"
+    vals, idx = pl.pallas_call(
+        _make_topk_kernel(g, npg, n, fold, k),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_n, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_n, k), jnp.int32),
+        ),
+        grid=(q_n // QUERY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((QUERY_BLOCK, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((QUERY_BLOCK, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QUERY_BLOCK, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q4, st, pen)
+    return vals, idx
+
+
 PAYLOAD_BITS = 10  # quantized-probability payload (fusion pair kernel)
 _PAYLOAD_BIG = 3.0e38  # masked-source clamp (inf | payload would be NaN)
 

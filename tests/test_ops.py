@@ -141,6 +141,35 @@ def test_knn_fast_pallas_path(rng):
     )
 
 
+def test_knn_fast_inkernel_topk_multislice(rng):
+    """group_min_topk with a multi-slice second fold (n=4096 -> npg=512,
+    fold=256, 2 slices): high recall vs the KD-tree, per-row indices
+    distinct, masked sources never valid, all-masked tiles come back
+    fully invalid (the finite _TOPK_BIG clamp must not leak as valid)."""
+    from pointstowood_tpu.ops import pallas_knn
+
+    assert pallas_knn.topk_supported(4096, 32) == 8
+    src = rng.normal(size=(4096, 3)).astype(np.float32)
+    q = rng.normal(size=(300, 3)).astype(np.float32)
+    idx, d2, valid = knn_masked(q, src, k=32, method="fast")
+    assert bool(np.asarray(valid).all())
+    tree = cKDTree(src)
+    _, ref_i = tree.query(q, k=32)
+    ia = np.asarray(idx)
+    hits = sum(
+        len(set(map(int, a)) & set(map(int, b))) for a, b in zip(ia, ref_i)
+    )
+    assert hits / (300 * 32) > 0.9
+    # extraction must never emit the same source twice for one query
+    assert all(len(set(map(int, row))) == 32 for row in ia)
+    # all-masked sources: every slot invalid, no NaN/garbage validity
+    none = np.zeros(4096, bool)
+    _, d2m, vm = knn_masked(q, src, k=32, source_mask=jnp.array(none),
+                            method="fast")
+    assert not bool(np.asarray(vm).any())
+    assert bool(np.isinf(np.asarray(d2m)).all())
+
+
 def test_knn_fast_top2(rng):
     """k=2 on the fast path runs the in-kernel folded top-2 (the
     FP-interpolation case): the nearest neighbor is always exact; the
