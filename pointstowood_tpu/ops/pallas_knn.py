@@ -339,20 +339,25 @@ def _make_topk_kernel(g: int, npg: int, n: int, fold: int, k: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("g", "k"))
+@functools.partial(jax.jit, static_argnames=("g", "k", "fold"))
 def group_min_topk(q: jax.Array, s: jax.Array, penalty: jax.Array,
-                   g: int, k: int):
+                   g: int, k: int, fold: int | None = None):
     """Fused grouped top-k: the group_min pipeline plus a two-survivor
     second fold and in-kernel extraction — no stage-2 selection op.
 
     q: (Q, 3) fp32 (Q a multiple of QUERY_BLOCK); s: (N, 3) fp32 with
     ``topk_supported(N, k) == g``; penalty: (N,) = ||s||^2, +inf at
-    masked rows. Returns vals (Q, k) fp32 selection values (pen - 2 q.s,
-    slot/slice-packed, clamped near fp32-max where masked — filter with
-    ``vals > 1e38``), idx (Q, k) int32 source rows."""
+    masked rows. ``fold`` overrides the second-fold column width (must
+    divide N/g with <= 2**_SLICE_BITS slices and k <= 2*fold; default
+    ``_topk_fold``). Returns vals (Q, k) fp32 selection values (pen -
+    2 q.s, slot/slice-packed, clamped near fp32-max where masked —
+    filter with ``vals > 1e38``), idx (Q, k) int32 source rows."""
     n = s.shape[0]
     npg = n // g
-    fold = _topk_fold(npg)
+    if fold is None:
+        fold = _topk_fold(npg)
+    assert fold and npg % fold == 0 and npg // fold <= (1 << _SLICE_BITS) \
+        and k <= 2 * fold, (n, g, k, fold)
     q_n = q.shape[0]
     q4 = jnp.concatenate([q, jnp.zeros((q_n, 1), jnp.float32)], axis=1)
     st = jnp.concatenate(

@@ -170,6 +170,36 @@ def test_knn_fast_inkernel_topk_multislice(rng):
     assert bool(np.isinf(np.asarray(d2m)).all())
 
 
+def test_knn_topk_fold_override(rng):
+    """group_min_topk's explicit fold override (n=4096, g=8, fold=128 ->
+    4 slices vs the default 256 -> 2): both folds give high recall and
+    identical nearest neighbors; invalid folds are rejected."""
+    import pytest
+    from pointstowood_tpu.ops import pallas_knn
+
+    n, k = 4096, 32
+    g = pallas_knn.topk_supported(n, k)
+    src = rng.normal(size=(n, 3)).astype(np.float32)
+    q = jnp.asarray(src[: pallas_knn.QUERY_BLOCK])
+    pen = jnp.sum(jnp.square(jnp.asarray(src)), axis=1)
+    tree = cKDTree(src)
+    _, ref_i = tree.query(src[: pallas_knn.QUERY_BLOCK], k=k)
+    nearest = {}
+    for fold in (256, 128):
+        vals, idx = pallas_knn.group_min_topk(
+            q, jnp.asarray(src), pen, g, k, fold=fold)
+        ia = np.asarray(idx)
+        hits = sum(len(set(map(int, a)) & set(map(int, b)))
+                   for a, b in zip(ia, ref_i))
+        assert hits / ia.size > 0.95, fold
+        order = np.argsort(np.asarray(vals), axis=1)
+        nearest[fold] = np.take_along_axis(ia, order[:, :1], axis=1)
+    # the true nearest neighbor survives any fold (it wins its column)
+    np.testing.assert_array_equal(nearest[256], nearest[128])
+    with pytest.raises(AssertionError):
+        pallas_knn.group_min_topk(q, jnp.asarray(src), pen, g, k, fold=96)
+
+
 def test_knn_fast_top2(rng):
     """k=2 on the fast path runs the in-kernel folded top-2 (the
     FP-interpolation case): the nearest neighbor is always exact; the
