@@ -216,9 +216,19 @@ _TOPK_BIG = 3.0e38  # masked-source clamp (packing slice bits into +inf
 
 
 def _topk_fold(npg: int) -> int:
-    """Second-fold column width for npg first-fold groups: the largest
-    lane-aligned divisor of npg <= 256 whose slice count fits _SLICE_BITS.
-    0 = unsupported shape."""
+    """Second-fold column width for npg first-fold groups: a lane-aligned
+    divisor of npg <= 256 whose slice count fits _SLICE_BITS. 0 =
+    unsupported shape.
+
+    256-first is measured (scripts/topk_stage_gate_probe.py +
+    topk_fold_recall_probe.py, v5e, B=8 vmapped, interleaved-rep
+    minima). Narrower folds are a recorded NEGATIVE: fold=128 at
+    npg=1024 won isolated (4.78 vs 5.85 ms at the SA2 shape) but was
+    neutral-to-worse inside the full forward (SA2 kNN 6.27 vs 5.70 ms,
+    forward 69.1 vs 69.2 — relay rep spread ±2 ms swallows the isolated
+    win) while costing recall (0.981 vs 0.986); fold=64 at npg=512 lost
+    outright (5.88 vs 4.78 ms — extra fold-2 slices cost more than the
+    narrower extraction saves once the matrix is small)."""
     for fold in (256, 128):
         if npg % fold == 0 and npg // fold <= (1 << _SLICE_BITS):
             return fold

@@ -66,10 +66,11 @@ def main():
         variants = {"two-stage": jax.vmap(functools.partial(two_stage, g=g)),
                     "in-kernel(256)": jax.vmap(
                         functools.partial(in_kernel, g=g))}
-        if (npg % 128 == 0 and npg // 128 <= 8
-                and pallas_knn._topk_fold(npg) != 128):
-            variants["in-kernel(128)"] = jax.vmap(
-                functools.partial(in_kernel, g=g, fold=128))
+        for fold in (128, 64):
+            if (npg % fold == 0 and npg // fold <= 8 and K <= 2 * fold
+                    and pallas_knn._topk_fold(npg) != fold):
+                variants[f"in-kernel({fold})"] = jax.vmap(
+                    functools.partial(in_kernel, g=g, fold=fold))
         times = {name: [] for name in variants}
         for _ in range(reps):
             for name, fn in variants.items():
