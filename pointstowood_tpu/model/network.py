@@ -39,8 +39,11 @@ from pointstowood_tpu.model.layers import (
 )
 from pointstowood_tpu.model.attention import ATSearchKNN, AttentivePointConv
 from pointstowood_tpu.model.pointconv import PointConv, gather_points
-from pointstowood_tpu.ops.interpolate import knn_interpolate_batched
-from pointstowood_tpu.ops.knn import knn_masked
+from pointstowood_tpu.ops.interpolate import (
+    knn_interpolate_batched,
+    uses_fused_kernel,
+)
+from pointstowood_tpu.ops.knn import knn_masked, knn_topk_with_transpose
 from pointstowood_tpu.ops.sampling import random_sample
 from pointstowood_tpu.ops.voxel import voxel_cell_ids, voxel_representatives
 
@@ -71,7 +74,8 @@ class SAStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos3, refl, mask, sf, training: bool,
-                 use_running_average: bool = False, stem_edge=None):
+                 use_running_average: bool = False, stem_edge=None,
+                 want_transpose: bool = False):
         b = pos3.shape[0]
         # Gate params exist for checkpoint parity; output is identically 1.
         gate = ReflectanceGate(name="reflectanceyesno")(refl, mask=mask)
@@ -97,6 +101,7 @@ class SAStage(nn.Module):
         pos4 = jnp.concatenate(
             [pos3 / sf[:, None, None], refl[..., None]], axis=-1
         )
+        transpose = None
         if self.attention_knn and not self.use_radius:
             # learned feature-space neighbor search (SA2/SA3 in the archived
             # attention model, model_attknn.py:147)
@@ -108,18 +113,34 @@ class SAStage(nn.Module):
             )(x, pos4_unscaled, mask, center_idx, center_valid)
         else:
             centers = gather_points(pos3, center_idx)
-            # k nearest (exact distances are not needed here: the SA1 radius
-            # cap is applied inside the conv from its fp32 relative
-            # positions, and SA2/SA3 only need validity — skipping the
-            # distance recompute saves one (B, S, k, 3) gather per stage,
-            # the dominant TPU cost).
-            nbr_idx, _, nbr_valid = jax.vmap(
-                lambda q, s, qm, sm: knn_masked(
-                    q, s, k=self.k,
-                    query_mask=qm, source_mask=sm, chunk_size=self.knn_chunk,
-                    method=self.knn_method, recall_target=self.knn_recall,
-                    with_dist=False)
-            )(centers, pos3, center_valid, mask)
+            from pointstowood_tpu.ops.pallas_knn import transpose_supported
+            if (want_transpose and self.knn_method == "fast"
+                    and transpose_supported(self.capacity, pos3.shape[1],
+                                            self.k)):
+                # Fused kernel also folds each stage point's nearest-2
+                # centers (the matching FP stage's k=2 interpolation
+                # search IS this kNN's transpose — see
+                # ops/knn.knn_topk_with_transpose); the stage's own
+                # neighbors come back bit-identical to the plain path.
+                nbr_idx, nbr_valid, t_idx, t_valid = knn_topk_with_transpose(
+                    centers, pos3, self.k, center_valid, mask
+                )
+                transpose = (t_idx, t_valid)
+            else:
+                # k nearest (exact distances are not needed here: the SA1
+                # radius cap is applied inside the conv from its fp32
+                # relative positions, and SA2/SA3 only need validity —
+                # skipping the distance recompute saves one (B, S, k, 3)
+                # gather per stage, the dominant TPU cost).
+                nbr_idx, _, nbr_valid = jax.vmap(
+                    lambda q, s, qm, sm: knn_masked(
+                        q, s, k=self.k,
+                        query_mask=qm, source_mask=sm,
+                        chunk_size=self.knn_chunk,
+                        method=self.knn_method,
+                        recall_target=self.knn_recall,
+                        with_dist=False)
+                )(centers, pos3, center_valid, mask)
         # radius search (SA1, model.py:117-118) operates in unscaled
         # coordinates; in the scaled frame the cap becomes radius / sf.
         radius = (
@@ -145,7 +166,7 @@ class SAStage(nn.Module):
         )
         pos3 = gather_points(pos3, center_idx)
         refl = jnp.take_along_axis(refl, center_idx, axis=1)
-        return x, pos3, refl, center_valid
+        return x, pos3, refl, center_valid, transpose
 
 
 class Net(nn.Module):
@@ -213,13 +234,24 @@ class Net(nn.Module):
         ]
         xs, poss, masks = [x0], [pos3], [mask]
         x, p, r, m = x0, pos3, refl, mask
+        # Per-stage transpose top-2 (the matching FP stage's k=2 search,
+        # folded inside the SA kNN kernel) — only worth computing for FP
+        # stages that will take the gather path; the fused interpolation
+        # kernel needs no indices (decision shared via uses_fused_kernel).
+        fused_bound = 4096 if training else 2048
+        transposes = [None, None, None]
         for i, ((nn_ch, out_f, use_rad), res) in enumerate(
             zip(sa_specs, self.sa_resolutions)
         ):
             rec = (float(self.knn_recall)
                    if isinstance(self.knn_recall, (int, float))
                    else float(self.knn_recall[i]))
-            x, p, r, m = SAStage(
+            src_n = p.shape[1]
+            want_t = self.fp_k == 2 and not uses_fused_kernel(
+                src_n, caps[i], c * 16, self.fp_k, self.knn_method,
+                fused_bound,
+            )
+            x, p, r, m, tp = SAStage(
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,
                 knn_method=self.knn_method, knn_recall=rec,
@@ -230,7 +262,9 @@ class Net(nn.Module):
             )(x, p, r, m, sf, training, use_running_average=ura,
               stem_edge=(
                   stem if i == 0 and not self.attention_conv else None
-              ))
+              ),
+              want_transpose=want_t)
+            transposes[i] = tp
             xs.append(x)
             poss.append(p)
             masks.append(m)
@@ -269,7 +303,11 @@ class Net(nn.Module):
                 # fused-kernel dispatch bound (see knn_interpolate_batched):
                 # training includes the backward, where the fused kernel
                 # also wins at the FP2 source count
-                fused_max_sources=4096 if training else 2048,
+                fused_max_sources=fused_bound,
+                # FP_i's search == SA_i's kNN transposed; the SA kernel
+                # already folded it (None when the stage is fused or the
+                # kernel shape-gated out, in which case FP searches)
+                precomputed=transposes[lvl],
             )
             y = RefMLP(widths, name=name, dtype=self.dtype)(
                 jnp.concatenate([interp.astype(self.dtype), xs[lvl]], axis=-1),

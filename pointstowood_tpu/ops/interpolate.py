@@ -47,6 +47,19 @@ def knn_interpolate(
     return num / jnp.maximum(den, 1e-16)
 
 
+def uses_fused_kernel(t_n: int, s_n: int, channels: int, k: int,
+                      method: str, fused_max_sources: int) -> bool:
+    """Whether ``knn_interpolate_batched`` will take the fused Pallas
+    path at these static shapes — the ONE decision point, shared with
+    callers (Net) that precompute transpose neighbors only for the
+    gather-path stages."""
+    if k != 2 or method != "fast" or s_n > fused_max_sources:
+        return False
+    from pointstowood_tpu.ops import pallas_interp
+
+    return pallas_interp.fused_supported(t_n, s_n, channels)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "chunk_size", "method", "fused_max_sources"),
@@ -61,11 +74,18 @@ def knn_interpolate_batched(
     chunk_size: int = 2048,
     method: str = "approx",
     fused_max_sources: int = 2048,
+    precomputed: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Batched variant: x (B, S, C), pos (B, S, 3), target (B, T, 3) ->
     (B, T, C). The neighbor search is vmapped per sample (sources are
     per-sample), but the feature gather is one flat global row gather —
-    the faster TPU formulation (see pointconv.gather_rows)."""
+    the faster TPU formulation (see pointconv.gather_rows).
+
+    ``precomputed``: optional (idx (B, T, k) int32, valid (B, T, k)
+    bool) neighbor arrays — the SA stage's transpose top-2
+    (ops/knn.knn_topk_with_transpose) — used on the gather path instead
+    of searching. Ignored when the fused kernel takes the stage (it
+    needs no neighbor indices at all)."""
     from pointstowood_tpu.model.pointconv import gather_rows
 
     def search(q, s, qm, sm):
@@ -84,24 +104,25 @@ def knn_interpolate_batched(
     tmask = (
         jnp.ones(target_pos.shape[:2], bool) if target_mask is None else target_mask
     )
-    if k == 2 and method == "fast" and pos.shape[1] <= fused_max_sources:
+    if uses_fused_kernel(target_pos.shape[1], pos.shape[1], x.shape[-1],
+                         k, method, fused_max_sources):
         from pointstowood_tpu.ops import pallas_interp
 
-        if pallas_interp.fused_supported(
-            target_pos.shape[1], pos.shape[1], x.shape[-1]
-        ):
-            # Fused threshold-select + weighted-sum kernel: no neighbor
-            # gather forward, no scatter-add VJP backward. Its dense
-            # (T, S) tile work scales quadratically, so it only wins on
-            # the smaller FP stages — measured on v5e (fwd+bwd, canonical
-            # train shapes): FP3 7.4 vs 10.0 ms, FP2 14.7 vs 16.2,
-            # FP1 41.1 vs 34.2 (scripts/interp_scatter_probe.py). The
-            # caller bounds dispatch via fused_max_sources: 4096 for
-            # training, 2048 for eval (FP2's fused FORWARD alone is
-            # slower than the gather path).
-            y = pallas_interp.fp_interpolate_fast(x, pos, target_pos, smask)
-            return jnp.where(tmask[..., None], y, 0)
-    idx, _, valid = jax.vmap(search)(target_pos, pos, tmask, smask)
+        # Fused threshold-select + weighted-sum kernel: no neighbor
+        # gather forward, no scatter-add VJP backward. Its dense
+        # (T, S) tile work scales quadratically, so it only wins on
+        # the smaller FP stages — measured on v5e (fwd+bwd, canonical
+        # train shapes): FP3 7.4 vs 10.0 ms, FP2 14.7 vs 16.2,
+        # FP1 41.1 vs 34.2 (scripts/interp_scatter_probe.py). The
+        # caller bounds dispatch via fused_max_sources: 4096 for
+        # training, 2048 for eval (FP2's fused FORWARD alone is
+        # slower than the gather path).
+        y = pallas_interp.fp_interpolate_fast(x, pos, target_pos, smask)
+        return jnp.where(tmask[..., None], y, 0)
+    if precomputed is not None:
+        idx, valid = precomputed
+    else:
+        idx, _, valid = jax.vmap(search)(target_pos, pos, tmask, smask)
     if x.dtype == jnp.bfloat16:
         # Packed-bf16 fused gather: wide-row gathers are byte-limited well
         # below HBM bandwidth (scripts/gather_width_probe.py: 9.7 -> 6.1 ms

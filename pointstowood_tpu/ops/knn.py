@@ -254,6 +254,57 @@ def knn_masked(
     return idx, jnp.where(valid, d2, _INF), valid
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_topk_with_transpose(
+    query_pos: jax.Array,
+    source_pos: jax.Array,
+    k: int,
+    query_mask: jax.Array,
+    source_mask: jax.Array,
+):
+    """Batched fast-path kNN that ALSO returns the transpose top-2.
+
+    The SA stages' kNN (queries = sampled centers, sources = the stage
+    cloud) and the FP decoder's k=2 interpolation search (targets = the
+    stage cloud, sources = those same centers) are transposes of one
+    distance matrix (reference model.py:117-120 vs model.py:149), so the
+    fused kernel folds each source's two nearest valid queries while the
+    distance tiles are live in VMEM (pallas_knn.group_min_topk_t) and
+    the decoder's separate search dispatches disappear.
+
+    Only callable when ``pallas_knn.transpose_supported(Q, N, k)`` is
+    nonzero. All arrays are batched (B leading dim; no vmap — the kernel
+    carries the batch as a grid dimension).
+
+    Returns:
+      idx: (B, Q, k) int32 (0 where invalid) — the stage's neighbors,
+        bit-identical to the ``group_min_topk`` fast path.
+      valid: (B, Q, k) bool.
+      t_idx: (B, N, 2) int32 (0 where invalid) — per source point, the
+        nearest-2 valid queries: the FP interpolation neighbors.
+      t_valid: (B, N, 2) bool.
+    """
+    from pointstowood_tpu.ops import pallas_knn
+
+    q = query_pos.astype(jnp.float32)
+    s = source_pos.astype(jnp.float32)
+    g = pallas_knn.transpose_supported(q.shape[1], s.shape[1], k)
+    assert g, (q.shape, s.shape, k)
+    pen = jnp.sum(s * s, axis=-1) + jnp.where(source_mask, 0.0, _INF)
+    qpen = jnp.sum(q * q, axis=-1) + jnp.where(query_mask, 0.0, 3.0e38)
+    vals, idx, t_vals, t_idx = pallas_knn.group_min_topk_t(
+        q, s, pen, qpen, g, k
+    )
+    valid = (vals < 1e38) & query_mask[..., None]
+    t_valid = (t_vals < 1e38) & source_mask[..., None]
+    return (
+        jnp.where(valid, idx, 0),
+        valid,
+        jnp.where(t_valid, t_idx, 0),
+        t_valid,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "chunk_size", "method", "query_block", "recall_target"),

@@ -248,6 +248,88 @@ def topk_supported(n: int, k: int) -> int:
     return g
 
 
+def _dot_f32(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _half_distances(qb, sth, pen_slice):
+    """One half-row of bf16x3 selection distances, clamped finite
+    (masked +inf sources -> _TOPK_BIG so later bit packing can't NaN)."""
+    ah = qb.astype(jnp.bfloat16)
+    al = (qb - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = sth.astype(jnp.bfloat16)
+    bl = (sth - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = (_dot_f32(ah, bh) + (_dot_f32(ah, bl) + _dot_f32(al, bh))
+         ) + pen_slice
+    return jnp.minimum(d, _TOPK_BIG)
+
+
+def _fold1_update(m, slot, d, blk_base, blocks, npg):
+    """Fold ``blocks`` npg-wide member blocks of d into the slot-packed
+    group-min state (m, slot)."""
+    for a in range(blocks):
+        blk = blk_base + a
+        da = d[:, a * npg : (a + 1) * npg]
+        if m is None:
+            m = da
+            slot = jnp.zeros(da.shape, jnp.uint32)
+        else:
+            upd = da < m
+            m = jnp.where(upd, da, m)
+            slot = jnp.where(upd, jnp.uint32(blk), slot)
+    return m, slot
+
+
+def _fold2_and_extract(m, slot, npg, fold, k, vals_ref, idx_ref):
+    """Second fold (top-2 survivors per fold-wide column, slice id packed)
+    + k unrolled iota-argmin extraction passes; writes (QB, k) outputs."""
+    slices = npg // fold
+    bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+    packed1 = ((bits >> SLOT_BITS) << SLOT_BITS) | slot
+    mp = jax.lax.bitcast_convert_type(packed1, jnp.float32)
+
+    total = SLOT_BITS + _SLICE_BITS
+    m1 = m2 = None
+    for a in range(slices):
+        sl = mp[:, a * fold : (a + 1) * fold]
+        b = jax.lax.bitcast_convert_type(sl, jnp.uint32)
+        s4 = b & ((1 << SLOT_BITS) - 1)
+        pb = ((b >> total) << total) | (s4 << _SLICE_BITS)
+        if a:
+            pb = pb | a
+        p = jax.lax.bitcast_convert_type(pb, jnp.float32)
+        if m1 is None:
+            m1 = p
+            m2 = jnp.full(p.shape, _TOPK_BIG, jnp.float32)
+        else:
+            upd = p < m1
+            m2 = jnp.where(upd, m1, jnp.minimum(m2, p))
+            m1 = jnp.where(upd, p, m1)
+    cand = jnp.concatenate([m1, m2], axis=1)  # (QB, 2*fold)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+    vcols = []
+    icols = []
+    for _ in range(k):
+        v = jnp.min(cand, axis=1, keepdims=True)
+        j = jnp.min(jnp.where(cand <= v, iota, 2 * fold), axis=1,
+                    keepdims=True)
+        cand = jnp.where(iota == j, _TOPK_BIG, cand)
+        vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        a = (vb & ((1 << _SLICE_BITS) - 1)).astype(jnp.int32)
+        s4 = ((vb >> _SLICE_BITS) & ((1 << SLOT_BITS) - 1)).astype(
+            jnp.int32)
+        col = j & (fold - 1)  # j in [0, 2*fold); m2 cols alias m1's
+        gidx = a * fold + col
+        vcols.append(v)
+        icols.append(s4 * npg + gidx)  # single-block member_index
+    vals_ref[:] = jnp.concatenate(vcols, axis=1)
+    idx_ref[:] = jnp.concatenate(icols, axis=1)
+
+
 def _make_topk_kernel(g: int, npg: int, n: int, fold: int, k: int):
     """group_min + a SECOND fold keeping the top-2 packed values per
     ``fold``-wide column + in-kernel top-k extraction.
@@ -267,13 +349,6 @@ def _make_topk_kernel(g: int, npg: int, n: int, fold: int, k: int):
     ranking noise, still far below the bf16-matmul alternative."""
     n_half = n // _HALVES
     blocks_per_half = g // _HALVES
-    slices = npg // fold
-
-    def dot_f32(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
     def kernel(q_ref, st_ref, pen_ref, vals_ref, idx_ref):
         qb = q_ref[:]
@@ -283,68 +358,14 @@ def _make_topk_kernel(g: int, npg: int, n: int, fold: int, k: int):
         slot = None
         for h in range(_HALVES):
             lo_h = h * n_half
-            sth = st_ref[:, lo_h : lo_h + n_half]
-            ah = qb.astype(jnp.bfloat16)
-            al = (qb - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-            bh = sth.astype(jnp.bfloat16)
-            bl = (sth - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-            d = (dot_f32(ah, bh) + (dot_f32(ah, bl) + dot_f32(al, bh))
-                 ) + pen_ref[:, lo_h : lo_h + n_half]
-            d = jnp.minimum(d, _TOPK_BIG)
-            for a in range(blocks_per_half):
-                blk = h * blocks_per_half + a
-                da = d[:, a * npg : (a + 1) * npg]
-                if m is None:
-                    m = da
-                    slot = jnp.zeros(da.shape, jnp.uint32)
-                else:
-                    upd = da < m
-                    m = jnp.where(upd, da, m)
-                    slot = jnp.where(upd, jnp.uint32(blk), slot)
-        bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
-        packed1 = ((bits >> SLOT_BITS) << SLOT_BITS) | slot
-        mp = jax.lax.bitcast_convert_type(packed1, jnp.float32)
-
-        # fold 2: top-2 per fold-wide column, slice id into 3 more bits
-        total = SLOT_BITS + _SLICE_BITS
-        m1 = m2 = None
-        for a in range(slices):
-            sl = mp[:, a * fold : (a + 1) * fold]
-            b = jax.lax.bitcast_convert_type(sl, jnp.uint32)
-            s4 = b & ((1 << SLOT_BITS) - 1)
-            pb = ((b >> total) << total) | (s4 << _SLICE_BITS)
-            if a:
-                pb = pb | a
-            p = jax.lax.bitcast_convert_type(pb, jnp.float32)
-            if m1 is None:
-                m1 = p
-                m2 = jnp.full(p.shape, _TOPK_BIG, jnp.float32)
-            else:
-                upd = p < m1
-                m2 = jnp.where(upd, m1, jnp.minimum(m2, p))
-                m1 = jnp.where(upd, p, m1)
-        cand = jnp.concatenate([m1, m2], axis=1)  # (QB, 2*fold)
-
-        # top-k extraction: k unrolled iota-argmin + mask passes over the
-        # candidate matrix; unpack [slot][slice] + column -> source row
-        iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
-        vcols = []
-        icols = []
-        for _ in range(k):
-            v = jnp.min(cand, axis=1, keepdims=True)
-            j = jnp.min(jnp.where(cand <= v, iota, 2 * fold), axis=1,
-                        keepdims=True)
-            cand = jnp.where(iota == j, _TOPK_BIG, cand)
-            vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
-            a = (vb & ((1 << _SLICE_BITS) - 1)).astype(jnp.int32)
-            s4 = ((vb >> _SLICE_BITS) & ((1 << SLOT_BITS) - 1)).astype(
-                jnp.int32)
-            col = j & (fold - 1)  # j in [0, 2*fold); m2 cols alias m1's
-            gidx = a * fold + col
-            vcols.append(v)
-            icols.append(s4 * npg + gidx)  # single-block member_index
-        vals_ref[:] = jnp.concatenate(vcols, axis=1)
-        idx_ref[:] = jnp.concatenate(icols, axis=1)
+            d = _half_distances(
+                qb, st_ref[:, lo_h : lo_h + n_half],
+                pen_ref[:, lo_h : lo_h + n_half],
+            )
+            m, slot = _fold1_update(
+                m, slot, d, h * blocks_per_half, blocks_per_half, npg
+            )
+        _fold2_and_extract(m, slot, npg, fold, k, vals_ref, idx_ref)
 
     return kernel
 
@@ -397,6 +418,202 @@ def group_min_topk(q: jax.Array, s: jax.Array, penalty: jax.Array,
         interpret=interpret,
     )(q4, st, pen)
     return vals, idx
+
+
+_TQ_BITS = 13  # transpose-fold packed global query id (padded Q <= 8192)
+
+
+def transpose_supported(q_n: int, n: int, k: int) -> int:
+    """Group count for ``group_min_topk_t`` (0 = not usable): the fused
+    top-k constraints plus the padded query count fitting the _TQ_BITS
+    packed id."""
+    g = topk_supported(n, k)
+    if not g:
+        return 0
+    if q_n + (-q_n) % QUERY_BLOCK > (1 << _TQ_BITS):
+        return 0
+    return g
+
+
+def _make_topk_t_kernel(g: int, npg: int, n: int, fold: int, k: int):
+    """``_make_topk_kernel`` + a per-SOURCE (column) top-2 fold.
+
+    Motivation: the FP decoder's k=2 interpolation search is the exact
+    TRANSPOSE of the SA stage's kNN — FP targets are the SA stage's
+    source cloud, FP sources are the SA query centers, and d(p, c) is
+    symmetric (reference model.py:117-120 vs model.py:149). The distance
+    tiles are already in VMEM here, so folding each column's two nearest
+    QUERY rows while the tile is live deletes the decoder's separate
+    top2 dispatches (scripts/transpose_knn_probe.py sizes both sides).
+
+    Mechanics: the forward fold is bit-identical to _make_topk_kernel
+    (same d, no query penalty — a uniform per-row offset wouldn't change
+    row-wise ranking anyway, so the masked-query penalty is applied only
+    to the transpose copy). For the transpose, each (QB, n_half) tile is
+    packed with the GLOBAL query id in the low _TQ_BITS mantissa bits
+    (queries are cell-sorted like sources, so the two nearest queries of
+    a column routinely land in the SAME query block — a single min per
+    step would lose the runner-up; keeping the step's top-2 makes the
+    merge exact). The per-step column top-2 then merges into (1, n)
+    accumulators that live across the query-block grid dimension.
+    Result: EXACT per-source top-2 over valid queries, up to _TQ_BITS
+    (~2^-10 relative) packed ranking noise on near-ties — tighter than
+    the standalone ``top2`` kernel, whose runner-up degrades to the
+    3rd-nearest for ~1/TOP2_GROUPS of queries."""
+    n_half = n // _HALVES
+    blocks_per_half = g // _HALVES
+
+    def kernel(q_ref, st_ref, pen_ref, qid_ref, qpen_ref,
+               vals_ref, idx_ref, t1_ref, t2_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            t1_ref[...] = jnp.full(t1_ref.shape, _TOPK_BIG, jnp.float32)
+            t2_ref[...] = jnp.full(t2_ref.shape, _TOPK_BIG, jnp.float32)
+
+        qb = q_ref[:]              # (QB, 4)
+        qid = qid_ref[:].astype(jnp.uint32)   # (QB, 1)
+        # per-row transpose offset: ||q||^2 (+ BIG where masked). The
+        # shared d below ranks by pen - 2 q.s, where the missing ||q||^2
+        # is constant per ROW (rank-invariant for the forward fold) but
+        # varies per row — the transpose COLUMN ranking needs it back.
+        qpen = qpen_ref[:]         # (QB, 1) fp32
+
+        m = None
+        slot = None
+        for h in range(_HALVES):
+            lo_h = h * n_half
+            d = _half_distances(
+                qb, st_ref[:, lo_h : lo_h + n_half],
+                pen_ref[:, lo_h : lo_h + n_half],
+            )
+
+            # --- transpose fold: this tile's two nearest valid query
+            # rows per source column, merged into the running top-2 ---
+            # (d + qpen can overflow to +inf: two finite positives, never
+            # NaN; the minimum clamps it back before packing)
+            dt = jnp.minimum(d + qpen, _TOPK_BIG)
+            bt = jax.lax.bitcast_convert_type(dt, jnp.uint32)
+            pbt = ((bt >> _TQ_BITS) << _TQ_BITS) | qid
+            p = jax.lax.bitcast_convert_type(pbt, jnp.float32)
+            c1 = jnp.min(p, axis=0, keepdims=True)         # (1, nh)
+            # packed values are row-unique (distinct qid bits), so the
+            # equality masks exactly the winning row
+            c2 = jnp.min(jnp.where(p == c1, _TOPK_BIG, p),
+                         axis=0, keepdims=True)
+            m1 = t1_ref[:, lo_h : lo_h + n_half]
+            m2 = t2_ref[:, lo_h : lo_h + n_half]
+            # exact top-2 merge of two sorted pairs
+            t1_ref[:, lo_h : lo_h + n_half] = jnp.minimum(m1, c1)
+            t2_ref[:, lo_h : lo_h + n_half] = jnp.minimum(
+                jnp.maximum(m1, c1), jnp.minimum(m2, c2))
+
+            m, slot = _fold1_update(
+                m, slot, d, h * blocks_per_half, blocks_per_half, npg
+            )
+        _fold2_and_extract(m, slot, npg, fold, k, vals_ref, idx_ref)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g", "k"))
+def group_min_topk_t(q: jax.Array, s: jax.Array, penalty: jax.Array,
+                     qpen: jax.Array, g: int, k: int):
+    """Batched fused top-k + transpose top-2 (see _make_topk_t_kernel).
+
+    q: (B, Q, 3) fp32 with ``transpose_supported(Q, N, k) == g``;
+    s: (B, N, 3) fp32; penalty: (B, N) = ||s||^2, +inf at masked rows;
+    qpen: (B, Q) fp32 = ||q||^2 at valid queries, >= 3e38 at masked ones
+    — the query-norm term the shared selection value lacks (it is
+    rank-invariant per query row but the transpose ranks per COLUMN,
+    across queries). Applied only to the transpose outputs — forward
+    top-k rows of masked queries still come back as garbage-to-be-masked,
+    exactly like ``group_min_topk``.
+
+    Batching is an explicit grid dimension (NOT vmap): the transpose
+    accumulators live across the query-block grid axis, which must be
+    innermost — under vmap the batching rule would also renumber
+    ``pl.program_id``. The batch dim is flattened into each operand's
+    ROW axis so every block stays 2-D (Mosaic rejects 3-D sub-ref
+    views with an unaligned minor dim).
+
+    Returns vals (B, Q, k) fp32, idx (B, Q, k) int32 — bit-identical to
+    ``group_min_topk`` — plus t_vals (B, N, 2) fp32 packed selection
+    values (> 1e38 where no valid query exists) and t_idx (B, N, 2)
+    int32 query rows (the per-source nearest-2 valid queries)."""
+    b, q_n = q.shape[0], q.shape[1]
+    n = s.shape[1]
+    npg = n // g
+    fold = _topk_fold(npg)
+    assert fold and k <= 2 * fold and n <= N_BLOCK_MAX, (n, g, k, fold)
+    pad = (-q_n) % QUERY_BLOCK
+    q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    qpen_p = jnp.pad(qpen, ((0, 0), (0, pad)), constant_values=_TOPK_BIG)
+    q_pad = q_n + pad
+    assert q_pad <= (1 << _TQ_BITS), (q_n, q_pad)
+
+    j_blocks = q_pad // QUERY_BLOCK
+    # batch flattened into rows: every operand/output block stays 2-D
+    q4 = jnp.concatenate(
+        [q_p, jnp.zeros((b, q_pad, 1), jnp.float32)], axis=2
+    ).reshape(b * q_pad, 4)
+    # (4, B*N): the source operand keeps its full 4-row sublane dim (a
+    # (4, n) block of a (B*4, n) array fails the TPU tiling rule; a full
+    # 4-row slab of a (4, B*N) array is exempt)
+    st = jnp.concatenate(
+        [(-2.0) * jnp.swapaxes(s, 1, 2),
+         jnp.ones((b, 1, n), jnp.float32)], axis=1
+    ).transpose(1, 0, 2).reshape(4, b * n)
+    pen = penalty.reshape(1, b * n)
+    qid = jnp.arange(q_pad, dtype=jnp.int32)[:, None]  # (Q, 1), shared
+    qpen2 = qpen_p.reshape(b * q_pad, 1)
+    interpret = jax.devices()[0].platform == "cpu"
+    vals, idx, t1, t2 = pl.pallas_call(
+        _make_topk_t_kernel(g, npg, n, fold, k),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b * q_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((1, b * n), jnp.float32),
+            jax.ShapeDtypeStruct((1, b * n), jnp.float32),
+        ),
+        grid=(b, j_blocks),
+        in_specs=[
+            pl.BlockSpec((QUERY_BLOCK, 4),
+                         lambda i, j, jb=j_blocks: (i * jb + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QUERY_BLOCK, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QUERY_BLOCK, 1),
+                         lambda i, j, jb=j_blocks: (i * jb + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((QUERY_BLOCK, k),
+                         lambda i, j, jb=j_blocks: (i * jb + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QUERY_BLOCK, k),
+                         lambda i, j, jb=j_blocks: (i * jb + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q4, st, pen, qid, qpen2)
+    t1 = t1.reshape(b, n)
+    t2 = t2.reshape(b, n)
+    t_vals = jnp.stack([t1, t2], axis=2)  # (B, N, 2)
+    t_bits = jax.lax.bitcast_convert_type(t_vals, jnp.uint32)
+    t_idx = (t_bits & jnp.uint32((1 << _TQ_BITS) - 1)).astype(jnp.int32)
+    vals = vals.reshape(b, q_pad, k)[:, :q_n]
+    idx = idx.reshape(b, q_pad, k)[:, :q_n]
+    return vals, idx, t_vals, t_idx
 
 
 PAYLOAD_BITS = 10  # quantized-probability payload (fusion pair kernel)

@@ -569,3 +569,98 @@ def test_knn_interpolate_batched_bf16_packed(rng):
     g32 = np.asarray(g32)
     gs = np.abs(g32).max()
     np.testing.assert_allclose(g16, g32, atol=0.05 * gs)
+
+
+def test_knn_topk_with_transpose(rng):
+    """The fused transpose kernel (ops/knn.knn_topk_with_transpose): the
+    stage's own neighbors come back bit-identical to the plain fast path,
+    and the per-source transpose top-2 matches a brute-force oracle of
+    "nearest-2 valid queries" exactly (up to packed-bits near-ties),
+    with validity mirroring the source mask / all-queries-masked cases.
+
+    This is the FP decoder's k=2 interpolation search (reference
+    model.py:149) folded into the SA stage's kNN kernel
+    (pallas_knn.group_min_topk_t) — d(p, c) is symmetric so FP_i's
+    search IS SA_i's kNN transposed."""
+    from pointstowood_tpu.ops import pallas_knn
+    from pointstowood_tpu.ops.knn import knn_topk_with_transpose
+
+    b, q_n, n, k = 2, 512, 2048, 32
+    q = rng.normal(size=(b, q_n, 3)).astype(np.float32)
+    src = rng.normal(size=(b, n, 3)).astype(np.float32)
+    smask = rng.random((b, n)) > 0.1
+    qmask = rng.random((b, q_n)) > 0.15
+    g = pallas_knn.transpose_supported(q_n, n, k)
+    assert g
+    idx, valid, t_idx, t_valid = knn_topk_with_transpose(
+        jnp.asarray(q), jnp.asarray(src), k,
+        jnp.asarray(qmask), jnp.asarray(smask))
+
+    # forward outputs bit-identical to the plain group_min_topk path
+    pen = (src ** 2).sum(-1) + np.where(smask, 0.0, np.inf)
+    v2, i2 = jax.vmap(
+        lambda a, c, p: pallas_knn.group_min_topk(a, c, p, g, k)
+    )(jnp.asarray(q), jnp.asarray(src), jnp.asarray(pen.astype(np.float32)))
+    ref_valid = (np.asarray(v2) < 1e38) & qmask[:, :, None]
+    assert np.array_equal(np.asarray(valid), ref_valid)
+    assert np.array_equal(
+        np.asarray(idx)[ref_valid], np.asarray(i2)[ref_valid])
+
+    # transpose top-2 vs oracle over valid queries only
+    d = ((src[:, None, :, :] - q[:, :, None, :]) ** 2).sum(-1)  # (B,Q,N)
+    d = np.where(qmask[:, :, None], d, np.inf)
+    t_oracle = np.argsort(d, axis=1)[:, :2, :].transpose(0, 2, 1)
+    assert np.array_equal(
+        np.asarray(t_valid), np.repeat(smask[..., None], 2, -1))
+    for sl in range(2):
+        mine = np.asarray(t_idx)[..., sl][smask]
+        ref = t_oracle[..., sl][smask]
+        agree = mine == ref
+        assert agree.mean() > 0.995  # packed-bits near-ties only
+        # every disagreement is a distance near-tie
+        bad = np.argwhere((np.asarray(t_idx)[..., sl] != t_oracle[..., sl])
+                          & smask)
+        for bb, nn_ in bad:
+            dm = d[bb, np.asarray(t_idx)[bb, nn_, sl], nn_]
+            do = d[bb, t_oracle[bb, nn_, sl], nn_]
+            assert abs(dm - do) <= 2e-3 * max(do, 1e-6)
+
+    # all queries masked -> every transpose slot invalid
+    _, _, _, tv0 = knn_topk_with_transpose(
+        jnp.asarray(q), jnp.asarray(src), k,
+        jnp.zeros((b, q_n), bool), jnp.asarray(smask))
+    assert not bool(np.asarray(tv0).any())
+
+
+def test_knn_interpolate_precomputed_transpose(rng):
+    """knn_interpolate_batched(precomputed=...) with the SA transpose
+    neighbors matches the search-based exact path (values, not indices —
+    near-tie slots may differ) and ignores precomputed when the fused
+    kernel takes the stage."""
+    from pointstowood_tpu.ops.interpolate import knn_interpolate_batched
+    from pointstowood_tpu.ops.knn import knn_topk_with_transpose
+
+    b, q_n, n, c = 2, 512, 2048, 8
+    centers = rng.normal(size=(b, q_n, 3)).astype(np.float32)
+    pts = rng.normal(size=(b, n, 3)).astype(np.float32)
+    smask = np.ones((b, n), bool)
+    smask[1, -100:] = False
+    qmask = np.ones((b, q_n), bool)
+    qmask[0, -50:] = False
+    x = rng.normal(size=(b, q_n, c)).astype(np.float32)
+
+    _, _, t_idx, t_valid = knn_topk_with_transpose(
+        jnp.asarray(centers), jnp.asarray(pts), 32,
+        jnp.asarray(qmask), jnp.asarray(smask))
+    y_pre = np.asarray(knn_interpolate_batched(
+        jnp.asarray(x), jnp.asarray(centers), jnp.asarray(pts), k=2,
+        source_mask=jnp.asarray(qmask), target_mask=jnp.asarray(smask),
+        method="fast", fused_max_sources=0,  # force the gather path
+        precomputed=(t_idx, t_valid)))
+    y_ref = np.asarray(knn_interpolate_batched(
+        jnp.asarray(x), jnp.asarray(centers), jnp.asarray(pts), k=2,
+        source_mask=jnp.asarray(qmask), target_mask=jnp.asarray(smask),
+        method="exact"))
+    # identical neighbor sets except packed near-ties: compare values
+    err = np.abs(y_pre - y_ref)[smask]
+    assert np.quantile(err, 0.999) < 1e-4 * max(np.abs(y_ref).max(), 1.0)
