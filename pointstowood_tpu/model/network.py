@@ -200,6 +200,15 @@ class Net(nn.Module):
     # archive model variants (see SAStage)
     attention_knn: bool = False
     attention_conv: bool = False
+    # Transpose-fused FP search (fold the decoder's k=2 interpolation
+    # neighbors into the SA kNN kernels — see knn_topk_with_transpose).
+    # Strictly faster ON-DEVICE (model-fwd 1181 -> 1133 ms on the 1M-pt
+    # plot; canonical forward 69.6 -> 62.7 ms), but the larger fused
+    # executables cost extra per-dispatch wall on remote-relay hosts, so
+    # the inference engine disables it there (predicter.build_net gates
+    # on utils.host_regime, the round-4 padding-lever pattern). None =
+    # enabled; env PTW_TRANSPOSE_KNN=0/1 overrides everything.
+    transpose_knn: bool | None = None
     # Compute dtype for MLP/conv activations (parameters and BN stats stay
     # fp32). bfloat16 is the TPU analogue of the reference's AMP autocast
     # (trainer.py:174, predicter.py:197); geometry (kNN, interpolation
@@ -238,6 +247,16 @@ class Net(nn.Module):
         # folded inside the SA kNN kernel) — only worth computing for FP
         # stages that will take the gather path; the fused interpolation
         # kernel needs no indices (decision shared via uses_fused_kernel).
+        # Precedence: PTW_TRANSPOSE_KNN env (A/B knob) > transpose_knn
+        # attr (engines gate by host regime) > enabled.
+        import os
+        env = os.environ.get("PTW_TRANSPOSE_KNN")
+        if env is not None:
+            transpose_enabled = env not in ("0", "false", "")
+        elif self.transpose_knn is not None:
+            transpose_enabled = self.transpose_knn
+        else:
+            transpose_enabled = True
         fused_bound = 4096 if training else 2048
         transposes = [None, None, None]
         for i, ((nn_ch, out_f, use_rad), res) in enumerate(
@@ -247,10 +266,10 @@ class Net(nn.Module):
                    if isinstance(self.knn_recall, (int, float))
                    else float(self.knn_recall[i]))
             src_n = p.shape[1]
-            want_t = self.fp_k == 2 and not uses_fused_kernel(
-                src_n, caps[i], c * 16, self.fp_k, self.knn_method,
-                fused_bound,
-            )
+            want_t = (self.fp_k == 2 and transpose_enabled
+                      and not uses_fused_kernel(
+                          src_n, caps[i], c * 16, self.fp_k,
+                          self.knn_method, fused_bound))
             x, p, r, m, tp = SAStage(
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,

@@ -30,6 +30,8 @@ from pointstowood_tpu.predict.fusion import Fusion
 
 
 def build_net(model_cfg: ModelConfig, knn_chunk: int = 2048) -> Net:
+    from pointstowood_tpu.utils.host_regime import host_regime
+
     return Net(
         num_classes=model_cfg.num_classes,
         channels=model_cfg.channels,
@@ -42,6 +44,12 @@ def build_net(model_cfg: ModelConfig, knn_chunk: int = 2048) -> Net:
         knn_recall=model_cfg.knn_recall,
         dtype=jnp.dtype(model_cfg.compute_dtype),
         voxel_priority=getattr(model_cfg, "voxel_priority", "hash"),
+        # Transpose-fused FP search: strictly faster on-device (model-fwd
+        # 1181 -> 1133 ms on the 1M-pt plot) but measured SLOWER in wall
+        # time on remote-relay hosts, whose per-dispatch cost grows with
+        # executable size — the same trade as the eval-cap choice, gated
+        # by the same measured regime (PTW_TRANSPOSE_KNN env overrides).
+        transpose_knn=(host_regime() != "relay"),
     )
 
 
