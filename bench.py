@@ -31,7 +31,14 @@ the guaranteed CPU rung unreachable):
   * per-readback retry for transient device errors (the BENCH_r02 mode);
   * a hard wall-clock budget (BENCH_TIME_BUDGET, default 540 s) enforced
     with SIGALRM — on expiry the JSON line is emitted with everything
-    measured so far instead of the driver's timeout recording nothing.
+    measured so far instead of the driver's timeout recording nothing;
+  * a SUPERVISOR parent (round 5): the measurement runs in a re-exec'd
+    child because the tunneled backend's native client can panic and
+    abort() the whole process (observed during a backend reset — no
+    Python finally survives that). A child that dies JSON-less gets one
+    BENCH_FORCE_CPU retry that switches to the CPU backend before any
+    device touch, so the remote client is never loaded. BENCH_NO_SUPERVISE=1
+    runs single-process (tests / debugging).
 
 vs_baseline: ratio against MEASURED_TORCH_CPU_PPS — the reference network
 forward *measured* in plain torch on this host's CPU via
@@ -458,6 +465,73 @@ def e2e_benchmark(variables, n_points):
     }
 
 
+def supervise():
+    """Parent-process armor: run the real bench as a CHILD so a native
+    abort (observed 2026-08-21: the tunneled backend's client thread
+    panicked and abort()ed the process during a CPU-fallback attempt —
+    no Python except/finally can survive that) still ends with ONE JSON
+    line on stdout. Attempt 1 = normal child; if it dies without a JSON
+    line, attempt 2 = BENCH_FORCE_CPU child that switches jax to the
+    CPU backend before any device touch, so the remote client is never
+    even loaded."""
+    import subprocess
+
+    attempts = (
+        ({}, max(TIME_BUDGET - CPU_RESERVE - 30, 60)),
+        ({"BENCH_FORCE_CPU": "1"}, max(CPU_RESERVE + 20, 90)),
+    )
+    last = None
+    for i, (extra, budget) in enumerate(attempts, 1):
+        left = TIME_BUDGET - elapsed() + 30  # small grace beyond budget
+        if left < 45 and i > 1:
+            break
+        env = dict(os.environ)
+        env.update(extra)
+        env["BENCH_CHILD"] = "1"
+        env["BENCH_TIME_BUDGET"] = str(min(budget, max(left - 15, 45)))
+        log(f"supervisor: child attempt {i} "
+            f"(budget {env['BENCH_TIME_BUDGET']}s{' CPU-only' if extra else ''})")
+        rc = "timeout"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE, env=env,
+                timeout=float(env["BENCH_TIME_BUDGET"]) + 60,
+            )
+            out = proc.stdout.decode(errors="replace")
+            rc = proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode(errors="replace")
+            log(f"supervisor: child attempt {i} timed out")
+        for line in reversed(out.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except ValueError:
+                    continue
+                if parsed.get("metric"):
+                    last = parsed
+                    break
+        if last is not None:
+            if i > 1:
+                last["supervisor_retry"] = "cpu_only_child"
+            print(json.dumps(last), flush=True)
+            return
+        log(f"supervisor: child attempt {i} died without a JSON line "
+            f"(rc={rc})")
+    # both children died JSON-less: emit the never-empty last resort
+    print(json.dumps({
+        "metric": "inference_points_per_sec",
+        "value": 0.0,
+        "unit": "points/s",
+        "vs_baseline": 0.0,
+        "error": "bench children died without emitting JSON "
+                 "(native abort in backend client?)",
+        "bench_seconds": round(elapsed(), 1),
+    }), flush=True)
+
+
 def main():
     result = {
         "metric": "inference_points_per_sec",
@@ -470,14 +544,31 @@ def main():
     if hasattr(signal, "SIGALRM"):
         signal.signal(signal.SIGALRM, _alarm_handler)
         signal.alarm(max(int(TIME_BUDGET), 1))
+    if (os.environ.get("BENCH_SIMULATE_ABORT")
+            and not os.environ.get("BENCH_FORCE_CPU")):
+        # test hook: reproduce the native client abort() (no Python
+        # finally runs) so the supervisor's retry path can be exercised
+        log("BENCH_SIMULATE_ABORT: aborting like the native client panic")
+        os.abort()
     try:
+        if os.environ.get("BENCH_FORCE_CPU"):
+            # supervisor retry rung: switch backends BEFORE any device
+            # touch so the (possibly crashing) remote client is never
+            # loaded in this process
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         from pointstowood_tpu.utils.compile_cache import enable_compile_cache
 
         cache_dir = enable_compile_cache()  # no-op where disabled
         log(f"compile cache: {cache_dir or 'disabled'}; "
             f"time budget {TIME_BUDGET:.0f}s")
 
-        pts_per_sec, variables, method, fwd_extras = forward_benchmark()
+        if os.environ.get("BENCH_FORCE_CPU"):
+            pts_per_sec, variables, method, fwd_extras = _cpu_fallback()
+            fwd_extras["tpu_skipped"] = "BENCH_FORCE_CPU"
+        else:
+            pts_per_sec, variables, method, fwd_extras = forward_benchmark()
         _arm(remaining())  # rest of the budget covers the e2e phase
         result.update(
             value=round(pts_per_sec, 1),
@@ -522,4 +613,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_NO_SUPERVISE"):
+        main()
+    else:
+        supervise()
