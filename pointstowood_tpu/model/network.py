@@ -266,10 +266,17 @@ class Net(nn.Module):
                    if isinstance(self.knn_recall, (int, float))
                    else float(self.knn_recall[i]))
             src_n = p.shape[1]
+            # want the transpose when the FP stage will gather anyway
+            # (fused kernel not taking it), OR when free indices flip
+            # the fused-vs-gather race: at > 2048 sources the gather
+            # formulation minus its (now free) search beats the fused
+            # quadratic tile work (interp_scatter_probe FP2-train
+            # ledger: 16.2 ms incl. ~4.3 search vs fused 14.7).
+            gather_anyway = not uses_fused_kernel(
+                src_n, caps[i], c * 16, self.fp_k,
+                self.knn_method, fused_bound)
             want_t = (self.fp_k == 2 and transpose_enabled
-                      and not uses_fused_kernel(
-                          src_n, caps[i], c * 16, self.fp_k,
-                          self.knn_method, fused_bound))
+                      and (gather_anyway or caps[i] > 2048))
             x, p, r, m, tp = SAStage(
                 resolution=res, k=self.k, nn_channels=nn_ch, out_features=out_f,
                 capacity=caps[i], use_radius=use_rad, knn_chunk=self.knn_chunk,

@@ -84,8 +84,10 @@ def knn_interpolate_batched(
     ``precomputed``: optional (idx (B, T, k) int32, valid (B, T, k)
     bool) neighbor arrays — the SA stage's transpose top-2
     (ops/knn.knn_topk_with_transpose) — used on the gather path instead
-    of searching. Ignored when the fused kernel takes the stage (it
-    needs no neighbor indices at all)."""
+    of searching. Takes PRECEDENCE over the fused kernel: with the
+    search cost already paid inside the SA kernel, the gather
+    formulation beats the fused quadratic tile work at the shapes where
+    the caller asks for a transpose (Net decides per stage)."""
     from pointstowood_tpu.model.pointconv import gather_rows
 
     def search(q, s, qm, sm):
@@ -104,8 +106,9 @@ def knn_interpolate_batched(
     tmask = (
         jnp.ones(target_pos.shape[:2], bool) if target_mask is None else target_mask
     )
-    if uses_fused_kernel(target_pos.shape[1], pos.shape[1], x.shape[-1],
-                         k, method, fused_max_sources):
+    if precomputed is None and uses_fused_kernel(
+            target_pos.shape[1], pos.shape[1], x.shape[-1],
+            k, method, fused_max_sources):
         from pointstowood_tpu.ops import pallas_interp
 
         # Fused threshold-select + weighted-sum kernel: no neighbor
