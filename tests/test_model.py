@@ -284,3 +284,52 @@ def test_pointconv_packed_bf16_gather_matches_fp32():
     y16 = run(jnp.bfloat16, x32.astype(jnp.bfloat16))  # packed path
     scale = np.abs(y32).max()
     np.testing.assert_allclose(y16, y32, atol=0.05 * scale)
+
+
+def test_transpose_knn_equivalence_and_gate():
+    """The transpose-fused FP search (Net.transpose_knn): outputs match
+    the separate-search path within near-tie tolerance, and the
+    PTW_TRANSPOSE_KNN env override beats the attribute (the engines rely
+    on this precedence to gate by host regime, predicter.build_net)."""
+    import functools
+    import os
+
+    rng = np.random.default_rng(5)
+    b, n = 1, 4096
+    pos = rng.normal(size=(b, n, 3)).astype(np.float32) * 2
+    refl = rng.normal(size=(b, n)).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    sf = np.linalg.norm(pos, axis=2).max(axis=1).astype(np.float32)
+    args = [jnp.asarray(v) for v in (pos, refl, mask, sf)]
+
+    n_on = Net(channels=8, knn_method="fast", transpose_knn=True)
+    n_off = Net(channels=8, knn_method="fast", transpose_knn=False)
+    v = jax.jit(functools.partial(n_on.init, training=False))(
+        {"params": jax.random.key(0)}, *args)
+    o_on = np.asarray(jax.jit(
+        functools.partial(n_on.apply, training=False))(v, *args))
+    o_off = np.asarray(jax.jit(
+        functools.partial(n_off.apply, training=False))(v, *args))
+    assert np.isfinite(o_on).all() and np.isfinite(o_off).all()
+    # identical FP neighbor sets except packed-bits near-ties
+    corr = np.corrcoef(o_on.ravel(), o_off.ravel())[0, 1]
+    assert corr > 0.9999, corr
+
+    # env override wins over the attribute (either direction)
+    old = os.environ.get("PTW_TRANSPOSE_KNN")
+    try:
+        os.environ["PTW_TRANSPOSE_KNN"] = "1"
+        forced = np.asarray(jax.jit(functools.partial(
+            Net(channels=8, knn_method="fast", transpose_knn=False).apply,
+            training=False))(v, *args))
+        assert np.array_equal(forced, o_on)
+        os.environ["PTW_TRANSPOSE_KNN"] = "0"
+        forced_off = np.asarray(jax.jit(functools.partial(
+            Net(channels=8, knn_method="fast", transpose_knn=True).apply,
+            training=False))(v, *args))
+        assert np.array_equal(forced_off, o_off)
+    finally:
+        if old is None:
+            os.environ.pop("PTW_TRANSPOSE_KNN", None)
+        else:
+            os.environ["PTW_TRANSPOSE_KNN"] = old
